@@ -1,0 +1,96 @@
+"""Benchmark: differentiable rasterizer forward+backward ms/frame.
+
+Headline metric (BASELINE.md north star): full fwd+bwd of the tiled
+differentiable renderer on a 100k-Gaussian cloud at 1280x720, single chip.
+
+Prints ONE JSON line:
+  {"metric": "rasterize_fwd_bwd_ms_per_frame", "value": ..., "unit": "ms",
+   "vs_baseline": ...}
+
+`vs_baseline` is speedup vs BASELINE_MS, a nominal 10 ms/frame figure for the
+reference CUDA rasterizer's fwd+bwd on a contemporary datacenter GPU at this
+workload (the reference publishes no numbers — BASELINE.md records
+`published: {}` — so this anchor is an estimate, kept fixed across rounds so
+the trend is comparable).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_MS = 10.0
+N_GAUSSIANS = 100_000
+WIDTH, HEIGHT = 1280, 720
+WARMUP = 2
+ITERS = 10
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from splatpu.core.types import activate_cloud
+    from splatpu.data.synthetic import make_lookat_camera, make_random_cloud
+    from splatpu.render.api import render
+    from splatpu.render.binning import BinningConfig
+
+    on_tpu = jax.default_backend() == "tpu"
+    n = N_GAUSSIANS if on_tpu else 2_000
+    w, h = (WIDTH, HEIGHT) if on_tpu else (256, 256)
+
+    cloud = make_random_cloud(
+        jax.random.key(0), n, extent=1.2, scale_range=(0.005, 0.02)
+    )
+    cam = make_lookat_camera(eye=(0, 0, -4.0), width=w, height=h, focal=0.8 * w)
+    config = BinningConfig(
+        max_span=64,
+        max_pairs=1 << (21 if on_tpu else 15),
+        chunk_pairs=2048 if on_tpu else 1024,
+    )
+    impl = "pallas" if on_tpu and _pallas_available() else "stream"
+    target = jnp.zeros((3, h, w))
+
+    @jax.jit
+    def fwd_bwd(cloud):
+        def loss(cloud):
+            out = render(activate_cloud(cloud), cam, impl=impl, config=config)
+            return jnp.mean(jnp.abs(out.image - target)) + 0.1 * jnp.mean(out.depth)
+
+        return jax.grad(lambda c: loss(c))(cloud)
+
+    g = fwd_bwd(cloud)
+    jax.block_until_ready(g)
+    for _ in range(WARMUP):
+        jax.block_until_ready(fwd_bwd(cloud))
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        g = fwd_bwd(cloud)
+    jax.block_until_ready(g)
+    ms = (time.perf_counter() - t0) / ITERS * 1000.0
+
+    print(
+        json.dumps(
+            {
+                "metric": "rasterize_fwd_bwd_ms_per_frame",
+                "value": round(ms, 3),
+                "unit": "ms",
+                "vs_baseline": round(BASELINE_MS / ms, 4),
+            }
+        )
+    )
+
+
+def _pallas_available() -> bool:
+    try:
+        from splatpu.render import pallas_composite  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,110 @@
+"""DeformationNetwork: residual MLP over encoded Gaussian state.
+
+Architecture matches reference `train.py:57-110`:
+
+    fc_in: Linear(192 -> D, bias)
+    R x ResidualBlock(D): Linear(no bias) -> BatchNorm -> GELU
+                          -> Linear(no bias) -> BatchNorm -> +skip -> GELU
+    fc_out: Linear(D -> 7, bias)
+    output += initial_means_and_rotations   (the net-level residual,
+                                             `train.py:108`)
+
+Implemented as a pure pytree of parameters + an `apply` function — TPU-first:
+the whole forward is a chain of (N, D) x (D, D) matmuls that XLA tiles onto
+the MXU, optionally in bfloat16.
+
+BatchNorm semantics: the reference *never* switches the torch module to eval
+mode (inference at `train.py:778-793` runs under no_grad but in train mode),
+so normalization always uses the current batch statistics.  We therefore use
+batch statistics unconditionally (biased variance, eps=1e-5, learnable
+gamma/beta) and keep no running stats.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+BN_EPS = 1e-5
+INPUT_DIM = 192  # PE10(means)+PE4(quats) x {initial, previous} + PE4(progress)
+OUTPUT_DIM = 7   # delta means (3) + delta quaternion (4)
+
+
+@dataclasses.dataclass(frozen=True)
+class DeformationNetConfig:
+    hidden_dim: int = 128
+    residual_blocks: int = 3
+    input_dim: int = INPUT_DIM
+    output_dim: int = OUTPUT_DIM
+    compute_dtype: str = "float32"  # set "bfloat16" to run matmuls on the MXU in bf16
+
+
+def _linear_init(key, fan_in, fan_out, bias: bool):
+    """torch.nn.Linear default init: U(+-1/sqrt(fan_in)) for both W and b."""
+    bound = 1.0 / jnp.sqrt(fan_in)
+    wk, bk = jax.random.split(key)
+    w = jax.random.uniform(wk, (fan_in, fan_out), minval=-bound, maxval=bound)
+    if not bias:
+        return {"w": w}
+    b = jax.random.uniform(bk, (fan_out,), minval=-bound, maxval=bound)
+    return {"w": w, "b": b}
+
+
+def init_deformation_net(key, config: DeformationNetConfig):
+    d = config.hidden_dim
+    keys = jax.random.split(key, 2 + 2 * config.residual_blocks)
+    params = {
+        "fc_in": _linear_init(keys[0], config.input_dim, d, bias=True),
+        "fc_out": _linear_init(keys[1], d, config.output_dim, bias=True),
+        "blocks": [],
+    }
+    for r in range(config.residual_blocks):
+        params["blocks"].append(
+            {
+                "fc1": _linear_init(keys[2 + 2 * r], d, d, bias=False),
+                "bn1": {"gamma": jnp.ones((d,)), "beta": jnp.zeros((d,))},
+                "fc2": _linear_init(keys[3 + 2 * r], d, d, bias=False),
+                "bn2": {"gamma": jnp.ones((d,)), "beta": jnp.zeros((d,))},
+            }
+        )
+    return params
+
+
+def _batch_norm(x, bn):
+    mean = jnp.mean(x, axis=0)
+    var = jnp.mean((x - mean) ** 2, axis=0)  # biased, like torch train mode
+    inv = jax.lax.rsqrt(var + BN_EPS)
+    return (x - mean) * inv * bn["gamma"] + bn["beta"]
+
+
+def deformation_net_apply(
+    params,
+    initial_means_and_rotations,  # (N, 7) raw means||quats
+    encoded_initial,              # (N, 92)
+    encoded_previous,             # (N, 92)
+    encoded_progress,             # (N, 8)
+    config: DeformationNetConfig,
+):
+    dtype = jnp.dtype(config.compute_dtype)
+    x = jnp.concatenate([encoded_initial, encoded_previous, encoded_progress], axis=1)
+    x = x.astype(dtype)
+
+    def linear(x, p):
+        y = x @ p["w"].astype(dtype)
+        if "b" in p:
+            y = y + p["b"].astype(dtype)
+        return y
+
+    x = linear(x, params["fc_in"])
+    for blk in params["blocks"]:
+        identity = x
+        h = linear(x, blk["fc1"])
+        h = _batch_norm(h.astype(jnp.float32), blk["bn1"]).astype(dtype)
+        h = jax.nn.gelu(h, approximate=False)
+        h = linear(h, blk["fc2"])
+        h = _batch_norm(h.astype(jnp.float32), blk["bn2"]).astype(dtype)
+        x = jax.nn.gelu(h + identity, approximate=False)
+    out = linear(x, params["fc_out"]).astype(jnp.float32)
+    return out + initial_means_and_rotations

@@ -1,0 +1,95 @@
+"""Checkpointing and artifact export.
+
+The reference only exports terminal artifacts — the densified cloud `.pth`
+(`densify.py:190-198`) and the deformation-network bundle
+(state_dict + config + cloud copy, `train.py:647-679`) — with no mid-run
+resume (SURVEY.md §5.3/§5.4).  Here:
+
+- `save_cloud` / `load_cloud`: the stage-1 -> stage-2 hand-off artifact
+  (npz; structure-of-arrays + alive mask);
+- `save_checkpoint` / `load_checkpoint`: full mid-run state (arbitrary pytree:
+  params, optimizer state, RNG key, loop counters) via flax serialization —
+  crash recovery simply restarts from the latest checkpoint;
+- `export_deformation_bundle`: the deployable inference artifact mirroring
+  `train.py:647-679` (network params + net config json + initial cloud).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import jax
+import numpy as np
+from flax import serialization
+
+from splatpu.core.types import GaussianCloud
+
+CLOUD_KEYS = (
+    "means",
+    "colors",
+    "segmentation_masks",
+    "rotation_quaternions",
+    "opacity_logits",
+    "log_scales",
+    "alive",
+)
+
+
+def save_cloud(path: Path, cloud: GaussianCloud):
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(
+        path, **{k: np.asarray(getattr(cloud, k)) for k in CLOUD_KEYS}
+    )
+
+
+def load_cloud(path: Path) -> GaussianCloud:
+    import jax.numpy as jnp
+
+    data = np.load(Path(path))
+    return GaussianCloud(**{k: jnp.asarray(data[k]) for k in CLOUD_KEYS})
+
+
+def save_checkpoint(path: Path, state_pytree):
+    """Serialize an arbitrary pytree (msgpack via flax); atomic rename."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    payload = serialization.to_bytes(state_pytree)
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    tmp.write_bytes(payload)
+    tmp.replace(path)
+
+
+def load_checkpoint(path: Path, target_pytree):
+    """Restore into the structure of `target_pytree` (shapes must match)."""
+    payload = Path(path).read_bytes()
+    return serialization.from_bytes(target_pytree, payload)
+
+
+def export_deformation_bundle(
+    directory: Path,
+    net_params,
+    net_config_dict: dict,
+    cloud: GaussianCloud,
+):
+    """`train.py:647-679` equivalent: a self-contained inference bundle."""
+    directory = Path(directory)
+    directory.mkdir(parents=True, exist_ok=True)
+    save_cloud(directory / "densified_initial_gaussian_cloud_parameters.npz", cloud)
+    with (directory / "config.json").open("w") as f:
+        json.dump(net_config_dict, f, indent="\t")
+    (directory / "network_params.msgpack").write_bytes(
+        serialization.to_bytes(net_params)
+    )
+
+
+def load_deformation_bundle(directory: Path, net_params_template):
+    directory = Path(directory)
+    cloud = load_cloud(directory / "densified_initial_gaussian_cloud_parameters.npz")
+    with (directory / "config.json").open() as f:
+        config = json.load(f)
+    net_params = serialization.from_bytes(
+        net_params_template, (directory / "network_params.msgpack").read_bytes()
+    )
+    return cloud, config, net_params

@@ -1,0 +1,73 @@
+"""Metrics sinks: JSONL always, wandb when available and enabled.
+
+The reference logs to wandb exclusively and synchronously — each `.item()`
+call forces a device->host sync inside the hot loop (`densify.py:229-236`,
+`train.py:419-428`).  Here metrics are device arrays collected into a small
+buffer and flushed asynchronously: callers hand over jax arrays, conversion to
+Python floats happens at flush time (after the step's dispatch), not at call
+time.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Any, Optional
+
+
+class MetricsLogger:
+    def __init__(
+        self,
+        jsonl_path: Optional[Path] = None,
+        use_wandb: bool = False,
+        wandb_project: Optional[str] = None,
+        flush_every: int = 50,
+    ):
+        self._path = Path(jsonl_path) if jsonl_path else None
+        self._file = None
+        self._buffer: list[tuple[int, dict[str, Any]]] = []
+        self._flush_every = flush_every
+        self._wandb = None
+        if use_wandb:
+            try:
+                import wandb  # noqa: F401
+
+                wandb.init(project=wandb_project or "splatpu")
+                self._wandb = wandb
+            except Exception:
+                self._wandb = None
+
+    def log(self, metrics: dict[str, Any], step: int):
+        """Accepts python scalars or jax arrays; arrays are kept as-is (no
+        sync) until flush."""
+        self._buffer.append((step, dict(metrics)))
+        if len(self._buffer) >= self._flush_every:
+            self.flush()
+
+    def flush(self):
+        if not self._buffer:
+            return
+        if self._path and self._file is None:
+            self._path.parent.mkdir(parents=True, exist_ok=True)
+            self._file = self._path.open("a")
+        for step, metrics in self._buffer:
+            concrete = {
+                k: (float(v) if hasattr(v, "dtype") or isinstance(v, (int, float)) else v)
+                for k, v in metrics.items()
+            }
+            if self._file:
+                self._file.write(
+                    json.dumps({"step": step, "ts": time.time(), **concrete}) + "\n"
+                )
+            if self._wandb:
+                self._wandb.log(concrete, step=step)
+        self._buffer.clear()
+        if self._file:
+            self._file.flush()
+
+    def close(self):
+        self.flush()
+        if self._file:
+            self._file.close()
+            self._file = None

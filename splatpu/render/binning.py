@@ -1,0 +1,220 @@
+"""Tile binning: Gaussian -> (tile, depth)-sorted pair stream (pure XLA).
+
+TPU-native replacement for the CUDA rasterizer's binning stage (SURVEY.md §2.1
+step 2: cub InclusiveSum + radix sort).  Everything is static-shape:
+
+1. preprocess gives each Gaussian a screen rect of covered 16x16 tiles;
+2. every Gaussian emits up to ``max_span`` (static) pair slots; a prefix sum
+   over per-Gaussian tile counts assigns each valid pair a unique slot in a
+   fixed ``max_pairs`` buffer (overflow pairs are dropped and counted);
+3. pairs are sorted once by a fused uint32 key = tile_id << depth_bits |
+   quantized-depth (the CUDA kernel sorts [tileID | float-depth-bits] with a
+   64-bit radix sort; on TPU a single 32-bit sort with ~2^20 depth levels is
+   faster and visually indistinguishable — ties only between Gaussians closer
+   than ~1e-6 of the depth range);
+4. per-tile [start, end) ranges come from two searchsorteds;
+5. the per-pair Gaussian records (mean2d, conic, color, opacity, depth) are
+   gathered into sorted order ONCE, so downstream compositors stream
+   *contiguous* memory instead of doing random-access gathers.
+
+All indices/keys are stop_gradient'ed; gradients flow through the gathered
+record values back to the Gaussian parameters.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from splatpu.core.projection import Splats2D, preprocess
+from splatpu.core.types import Camera, RenderArgs
+
+TILE = 16  # pixels per tile side; 256-pixel tiles, like the CUDA kernel.
+
+
+@dataclasses.dataclass(frozen=True)
+class BinningConfig:
+    """Static binning budgets (shape-defining, hashable for jit).
+
+    ``chunk_pairs`` is both the compositing chunk size and the per-tile
+    segment alignment: each tile's pair segment starts on a chunk boundary, so
+    a chunk never straddles two tiles.  That is what lets the Pallas backward
+    kernel write pair-gradient chunks with plain DMA (no cross-tile clobber)
+    and keeps forward DMA reads aligned.
+    """
+
+    max_span: int = 64       # max tiles a single Gaussian may cover (rest dropped)
+    max_pairs: int = 2**20   # total pair budget (pre-alignment)
+    chunk_pairs: int = 256   # pair-stream chunk size AND tile segment alignment
+
+    def padded_capacity(self, num_tiles: int) -> int:
+        """Worst-case aligned stream length: every non-empty tile wastes at
+        most chunk_pairs - 1 slots."""
+        return self.max_pairs + self.chunk_pairs * num_tiles
+
+
+@struct.dataclass
+class PairStream:
+    """Depth-ordered, tile-segmented stream of splat records."""
+
+    # Per-pair, sorted by (tile, depth). Length max_pairs (padded with invalid).
+    tile: jax.Array       # (P,) int32; == num_tiles for invalid/padding pairs
+    gid: jax.Array        # (P,) int32 gaussian index (0 for invalid)
+    mean2d: jax.Array     # (P, 2)
+    conic: jax.Array      # (P, 3)
+    color: jax.Array      # (P, C)
+    opacity: jax.Array    # (P,)
+    depth: jax.Array      # (P,)
+    # Per-tile ranges into the sorted pair arrays.
+    start: jax.Array      # (num_tiles,) int32
+    end: jax.Array        # (num_tiles,) int32
+    # Diagnostics.
+    total_pairs: jax.Array     # () int32 — pairs before budget clipping
+    overflowed: jax.Array      # () bool — pair budget or span budget exceeded
+    splats: Splats2D
+
+
+def tile_grid(camera: Camera) -> tuple[int, int]:
+    return -(-camera.width // TILE), -(-camera.height // TILE)
+
+
+def _depth_bits_for(num_tiles: int) -> int:
+    # Reserve one tile id above the grid as the invalid sentinel; the tile
+    # field must hold num_tiles inclusive.  Cap at 24 bits: the quantized
+    # value is produced by a float32 multiply, which only carries 24 mantissa
+    # bits anyway (and values above 2^24 round, risking overflow into the
+    # tile field).
+    tile_bits = max(1, (num_tiles + 1).bit_length())
+    bits = min(32 - tile_bits, 24)
+    if bits < 8:
+        raise ValueError(f"image too large: {num_tiles} tiles leaves {bits} depth bits")
+    return bits
+
+
+def build_pair_stream(
+    args: RenderArgs,
+    camera: Camera,
+    config: BinningConfig,
+) -> PairStream:
+    tiles_x, tiles_y = tile_grid(camera)
+    num_tiles = tiles_x * tiles_y
+    depth_bits = _depth_bits_for(num_tiles)
+    max_span = config.max_span
+    max_pairs = config.max_pairs
+
+    sp = preprocess(args, camera)
+    n = args.n
+
+    # --- Tile rects (CUDA getRect semantics [reconstructed]). ---
+    from splatpu.core.projection import tile_rect
+
+    tx0, ty0, tx1, ty1 = tile_rect(sp.mean2d, sp.radius, tiles_x, tiles_y, TILE)
+    span_w = jnp.where(sp.visible, tx1 - tx0, 0)
+    span_h = jnp.where(sp.visible, ty1 - ty0, 0)
+    count = span_w * span_h
+    span_overflow = jnp.any(count > max_span)
+    count = jnp.minimum(count, max_span)
+
+    total_pairs = jnp.sum(count)
+    offsets = jnp.cumsum(count) - count  # exclusive prefix sum
+
+    # --- Emit pair slots (N, max_span). ---
+    s = jnp.arange(max_span, dtype=jnp.int32)[None, :]       # (1, S)
+    valid = s < count[:, None]                               # (N, S)
+    safe_w = jnp.maximum(span_w, 1)[:, None]
+    sy = s // safe_w
+    sx = s - sy * safe_w
+    tile_id = (ty0[:, None] + sy) * tiles_x + (tx0[:, None] + sx)  # (N, S)
+
+    # Depth quantization over the visible range.
+    d = sp.depth
+    big = jnp.float32(1e10)
+    dmin = jnp.min(jnp.where(sp.visible, d, big))
+    dmax = jnp.max(jnp.where(sp.visible, d, -big))
+    limit = (1 << depth_bits) - 1
+    dscale = jnp.float32(limit) / jnp.maximum(dmax - dmin, 1e-9)
+    # Clamp in the INTEGER domain: the float product can round up to exactly
+    # 2^depth_bits, which would overflow into the key's tile field.
+    dq = jnp.minimum(
+        jnp.clip((d - dmin) * dscale, 0.0, None).astype(jnp.uint32),
+        jnp.uint32(limit),
+    )
+
+    key = (tile_id.astype(jnp.uint32) << depth_bits) | dq[:, None]  # (N, S)
+    slot = offsets[:, None] + s                                     # (N, S)
+    slot = jnp.where(valid, slot, max_pairs)  # out-of-bounds => dropped
+
+    keys_buf = jnp.full((max_pairs,), jnp.uint32(0xFFFFFFFF))
+    gids_buf = jnp.zeros((max_pairs,), jnp.int32)
+    keys_buf = keys_buf.at[slot.reshape(-1)].set(key.reshape(-1), mode="drop")
+    gid_src = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], (n, max_span)
+    )
+    gids_buf = gids_buf.at[slot.reshape(-1)].set(gid_src.reshape(-1), mode="drop")
+
+    # --- Sort by fused key; carry gaussian ids along. ---
+    keys_sorted, gids_sorted = jax.lax.sort(
+        (keys_buf, gids_buf), dimension=0, num_keys=1
+    )
+    keys_sorted = jax.lax.stop_gradient(keys_sorted)
+    gids_sorted = jax.lax.stop_gradient(gids_sorted)
+    tile_of_pair = (keys_sorted >> depth_bits).astype(jnp.int32)
+    # Invalid sentinel keys decode to tile id > num_tiles; clamp to num_tiles so
+    # scatter/segment consumers can use a single overflow row.
+    tile_of_pair = jnp.minimum(tile_of_pair, num_tiles)
+
+    tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
+    start = jnp.searchsorted(tile_of_pair, tile_ids, side="left").astype(jnp.int32)
+    end = jnp.searchsorted(tile_of_pair, tile_ids, side="right").astype(jnp.int32)
+
+    # --- Re-align: give every tile a chunk-aligned segment. ---
+    chunk = config.chunk_pairs
+    padded_cap = config.padded_capacity(num_tiles)
+    lengths = end - start
+    padded_len = ((lengths + chunk - 1) // chunk) * chunk
+    padded_start = (jnp.cumsum(padded_len) - padded_len).astype(jnp.int32)
+    padded_end = padded_start + lengths
+
+    p_idx = jnp.arange(max_pairs, dtype=jnp.int32)
+    src_valid = tile_of_pair < num_tiles
+    t_clamped = jnp.minimum(tile_of_pair, num_tiles - 1)
+    q = padded_start[t_clamped] + (p_idx - start[t_clamped])
+    q = jnp.where(src_valid, q, padded_cap)  # OOB => dropped
+    q = jax.lax.stop_gradient(q)
+
+    gid_padded = jnp.zeros((padded_cap,), jnp.int32).at[q].set(
+        gids_sorted, mode="drop"
+    )
+    tile_padded = jnp.full((padded_cap,), num_tiles, jnp.int32).at[q].set(
+        tile_of_pair, mode="drop"
+    )
+    valid_padded = jnp.zeros((padded_cap,), bool).at[q].set(True, mode="drop")
+
+    # --- Gather records into aligned pair order (contiguous downstream reads). ---
+    g = gid_padded
+    mean2d = sp.mean2d[g]
+    conic = sp.conic[g]
+    color = args.colors[g]
+    opacity = jnp.where(sp.visible, args.opacities[:, 0], 0.0)[g]
+    depth = sp.depth[g]
+    # Null out padding pairs so they never composite (and get zero gradients).
+    opacity = jnp.where(valid_padded, opacity, 0.0)
+
+    return PairStream(
+        tile=tile_padded,
+        gid=g,
+        mean2d=mean2d,
+        conic=conic,
+        color=color,
+        opacity=opacity,
+        depth=depth,
+        start=padded_start,
+        end=padded_end,
+        total_pairs=total_pairs,
+        overflowed=span_overflow | (total_pairs > max_pairs),
+        splats=sp,
+    )

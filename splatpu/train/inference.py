@@ -1,0 +1,168 @@
+"""Free-viewpoint inference: autoregressive rollout + orbit-camera video export.
+
+Mirrors reference `train.py:446-637`: five virtual cameras (yaw 0/90/180/270 at
+distance 2.4, height 1.3, plus a top view at 4.5), 1280x720, per-view aspect
+factors 0.82/0.52/0.52/0.52/0.35; each timestep's deformed state feeds the next
+step's "previous" encoding; frames are written per camera and assembled into
+mp4s, and the mean image loss vs the real views is reported per timestep.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections import defaultdict
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from splatpu.core.types import Camera, GaussianCloud, activate_cloud
+from splatpu.render.api import render
+from splatpu.train.losses import image_loss
+from splatpu.train.stage2 import Stage2Config, rollout_step
+from splatpu.io.video import to_uint8_frame, write_frame, write_video
+
+RENDER_WIDTH = 1280   # `train.py:513`
+RENDER_HEIGHT = 720   # `train.py:514`
+
+
+def create_transformation_matrix(yaw_degrees: float, height: float, distance: float):
+    """`train.py:446-457`."""
+    y = np.radians(yaw_degrees)
+    return np.array(
+        [
+            [np.cos(y), 0.0, -np.sin(y), 0.0],
+            [0.0, 1.0, 0.0, height],
+            [np.sin(y), 0.0, np.cos(y), distance],
+            [0.0, 0.0, 0.0, 1.0],
+        ]
+    )
+
+
+def create_orbit_cameras(width: int = RENDER_WIDTH, height: int = RENDER_HEIGHT):
+    """`train.py:460-503` + intrinsics construction of `train.py:515-526`."""
+    specs = {
+        "000": (create_transformation_matrix(0, 1.3, 2.4), 0.82),
+        "090": (create_transformation_matrix(90, 1.3, 2.4), 0.52),
+        "180": (create_transformation_matrix(180, 1.3, 2.4), 0.52),
+        "270": (create_transformation_matrix(270, 1.3, 2.4), 0.52),
+        "top": (
+            np.array(
+                [
+                    [1.0, 0.0, 0.0, 0.0],
+                    [0.0, 0.0, -1.0, 0.0],
+                    [0.0, 1.0, 0.0, 4.5],
+                    [0.0, 0.0, 0.0, 1.0],
+                ]
+            ),
+            0.35,
+        ),
+    }
+    cameras = {}
+    for name, (w2c, aspect) in specs.items():
+        K = np.array(
+            [
+                [aspect * width, 0.0, width / 2.0],
+                [0.0, aspect * width, height / 2.0],
+                [0.0, 0.0, 1.0],
+            ]
+        )
+        cameras[name] = Camera(
+            w2c=jnp.asarray(w2c, jnp.float32),
+            K=jnp.asarray(K, jnp.float32),
+            width=width,
+            height=height,
+        )
+    return cameras
+
+
+def run_inference(
+    net_params,
+    initial_cloud: GaussianCloud,
+    encoded_initial,
+    config: Stage2Config,
+    output_directory: Optional[Path] = None,
+    views_by_timestep=None,
+    fps: int = 30,
+    renderer: Optional[str] = None,
+    width: int = RENDER_WIDTH,
+    height: int = RENDER_HEIGHT,
+    logger=None,
+):
+    """`train.py:550-637`. Returns {camera_name: [frames (H,W,3) uint8]} and
+    the per-timestep mean image losses (empty if no real views given)."""
+    impl = renderer or config.renderer
+    cameras = create_orbit_cameras(width, height)
+
+    @jax.jit
+    def rollout(net_params, enc_prev, timestep):
+        return rollout_step(
+            net_params, initial_cloud, encoded_initial, enc_prev, timestep, config
+        )
+
+    @jax.jit
+    def render_view(cloud: GaussianCloud, w2c, K):
+        cam = next(iter(cameras.values())).replace(w2c=w2c, K=K)
+        return render(
+            activate_cloud(cloud), cam, impl=impl, config=config.binning
+        ).image
+
+    frames = defaultdict(list)
+    mean_losses = []
+    enc_prev = encoded_initial
+    t_count = config.timestep_count
+    for timestep in range(1, t_count + 1):
+        cloud, enc_prev = rollout(net_params, enc_prev, jnp.float32(timestep))
+        for name, cam in cameras.items():
+            img = render_view(cloud, cam.w2c, cam.K)
+            if output_directory is not None:
+                frame = write_frame(
+                    Path(output_directory) / "frames" / name / f"{timestep:06d}.png",
+                    np.asarray(img),
+                )
+            else:
+                frame = to_uint8_frame(np.asarray(img))
+            frames[name].append(frame)
+        if views_by_timestep is not None:
+            losses = []
+            for v in views_by_timestep[timestep - 1]:
+                cam = next(iter(cameras.values())).replace(
+                    w2c=jnp.asarray(v.w2c), K=jnp.asarray(v.K)
+                )
+                # Real views may have a different resolution than the orbit
+                # cameras; rebuild with their static size.
+                cam = Camera(
+                    w2c=jnp.asarray(v.w2c),
+                    K=jnp.asarray(v.K),
+                    width=v.width,
+                    height=v.height,
+                )
+                out = render(activate_cloud(cloud), cam, impl=impl, config=config.binning)
+                losses.append(float(image_loss(out.image, jnp.asarray(v.image))))
+            mean_losses.append(float(np.mean(losses)))
+            if logger is not None:
+                logger.log(
+                    {"mean-image-loss": mean_losses[-1]},
+                    step=config.total_iterations * t_count + timestep,
+                )
+
+    # Timestep-0 frame prepended per camera (`train.py:617-627`).
+    for name, cam in cameras.items():
+        img = render_view(initial_cloud, cam.w2c, cam.K)
+        if output_directory is not None:
+            frame = write_frame(
+                Path(output_directory) / "frames" / name / "000000.png",
+                np.asarray(img),
+            )
+        else:
+            frame = to_uint8_frame(np.asarray(img))
+        frames[name].insert(0, frame)
+        if output_directory is not None:
+            write_video(
+                Path(output_directory) / f"{name}.mp4", frames[name], fps=fps
+            )
+    if logger is not None:
+        logger.flush()
+    return dict(frames), mean_losses

@@ -1,0 +1,242 @@
+"""Stage 1: fit a static Gaussian cloud to timestep 0, with densification.
+
+TPU-native re-design of `densify.py` (reference flow at SURVEY.md §3.1):
+
+- the cloud is fixed-capacity (see `splatpu.growth`); the Python loop stays on
+  the host but each iteration is ONE jitted step: render image + segmentation,
+  L1+SSIM losses, gradients, Adam update, densification-stat accumulation —
+  no per-step host sync (metrics are fetched asynchronously);
+- mutation iterations run a second jitted function (`densify_and_prune` +
+  optional opacity reset).  The reference skips the Adam update on mutation
+  iterations as a side effect of re-registering parameters (torch leaves
+  `.grad = None` on the new tensors) — we reproduce that explicitly;
+- the view schedule is the reference's without-replacement random buffer
+  (`densify.py:108-111,217-221`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from splatpu.core.types import Camera, GaussianCloud, activate_cloud, cloud_from_arrays
+from splatpu.growth.densify import (
+    DensifyConfig,
+    DensifyStats,
+    accumulate_stats,
+    densify_and_prune,
+    init_stats,
+    reset_opacity,
+)
+from splatpu.neighbors.knn import knn
+from splatpu.render.api import default_config, render
+from splatpu.render.binning import BinningConfig
+from splatpu.train.losses import SEGMENTATION_WEIGHT, image_loss
+from splatpu.train.optim import (
+    apply_stage1_updates,
+    make_stage1_adam,
+    stage1_learning_rates,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class Stage1Config:
+    iterations: int = 30_000                  # `densify.py:218`
+    capacity_factor: float = 4.0              # cloud capacity / initial N
+    densify: DensifyConfig = DensifyConfig()
+    renderer: str = "auto"
+    binning: Optional[BinningConfig] = None
+    seed: int = 0
+
+
+def initialize_cloud(point_cloud: np.ndarray, capacity: int) -> GaussianCloud:
+    """`densify.py:22-57`: means/colors from the point cloud, seg -> (fg,0,bg),
+    identity quats, opacity logits 0 (sigmoid -> 0.5), isotropic log scales =
+    log(sqrt(mean squared distance to 3 nearest neighbors))."""
+    xyz = jnp.asarray(point_cloud[:, :3])
+    _, d2 = knn(xyz, k=3)
+    mean_d2 = jnp.clip(jnp.mean(d2, axis=-1), 1e-7, None)
+    log_scales = jnp.tile(jnp.log(jnp.sqrt(mean_d2))[:, None], (1, 3))
+    seg = point_cloud[:, 6]
+    n = point_cloud.shape[0]
+    return cloud_from_arrays(
+        means=point_cloud[:, :3],
+        colors=point_cloud[:, 3:6],
+        segmentation_masks=np.stack([seg, np.zeros_like(seg), 1.0 - seg], -1),
+        rotation_quaternions=np.tile(np.array([1.0, 0, 0, 0], np.float32), (n, 1)),
+        opacity_logits=np.zeros((n, 1), np.float32),
+        log_scales=log_scales,
+        capacity=capacity,
+    )
+
+
+def make_step_fns(camera_static: Camera, config: Stage1Config, scene_radius: float):
+    """Build the two jitted step functions. `camera_static` provides the
+    static (width/height) fields; per-view (w2c, K) tensors are step inputs."""
+    binning = config.binning or None
+    lrs = stage1_learning_rates(scene_radius)
+    adam = make_stage1_adam()
+
+    def loss_fn(params, offset, alive, w2c, K, image, seg_target):
+        cloud = GaussianCloud(alive=alive, **params)
+        camera = camera_static.replace(w2c=w2c, K=K)
+        args = activate_cloud(cloud).replace(means2d_offset=offset)
+        out = render(args, camera, impl=config.renderer, config=binning)
+        img_loss = image_loss(out.image, image)
+        # Segmentation render: same geometry, colors := segmentation masks,
+        # its OWN zero means2d offset so only the color render feeds the
+        # densification gradient collector (`densify.py:130-132`).
+        seg_args = args.replace(
+            colors=cloud.segmentation_masks,
+            means2d_offset=jnp.zeros_like(offset),
+        )
+        seg_out = render(seg_args, camera, impl=config.renderer, config=binning)
+        seg_loss = image_loss(seg_out.image, seg_target)
+        total = img_loss + SEGMENTATION_WEIGHT * seg_loss
+        aux = {
+            "radii": out.radii,
+            "image_loss": img_loss,
+            "segmentation_loss": seg_loss,
+            "total_loss": total,
+        }
+        return total, aux
+
+    grad_fn = jax.grad(loss_fn, argnums=(0, 1), has_aux=True)
+
+    def _compute(cloud, stats, w2c, K, image, seg_target):
+        params = cloud.param_dict()
+        offset = jnp.zeros((cloud.capacity, 2), jnp.float32)
+        (param_grads, offset_grad), aux = grad_fn(
+            params, offset, cloud.alive, w2c, K, image, seg_target
+        )
+        stats = accumulate_stats(stats, offset_grad, aux["radii"])
+        return param_grads, stats, aux
+
+    @jax.jit
+    def train_step(cloud, opt_state, stats, w2c, K, image, seg_target, accumulate):
+        """Non-mutation iteration: grads + Adam update (+ stat accumulation
+        while in the densification window)."""
+        param_grads, new_stats, aux = _compute(
+            cloud, stats, w2c, K, image, seg_target
+        )
+        stats = jax.tree.map(
+            lambda new, old: jnp.where(accumulate, new, old), new_stats, stats
+        )
+        updates, opt_state = adam.update(param_grads, opt_state)
+        params = apply_stage1_updates(cloud.param_dict(), updates, lrs)
+        # Dead slots must not drift.
+        params = {
+            k: jnp.where(
+                cloud.alive.reshape((-1,) + (1,) * (v.ndim - 1)), v, getattr(cloud, k)
+            )
+            for k, v in params.items()
+        }
+        cloud = cloud.replace(**params)
+        metrics = {k: aux[k] for k in ("image_loss", "segmentation_loss", "total_loss")}
+        metrics["n_alive"] = cloud.n_alive()
+        return cloud, opt_state, stats, metrics
+
+    @jax.jit
+    def mutate_step(cloud, opt_state, stats, w2c, K, image, seg_target, key, i, do_reset):
+        """Mutation iteration: grads feed the stats, then clone/split/prune
+        (+ optional opacity reset). No Adam update (reference behavior — the
+        re-registered torch params have grad None when optimizer.step runs)."""
+        _param_grads, stats, aux = _compute(cloud, stats, w2c, K, image, seg_target)
+        cloud, opt_state, stats, info = densify_and_prune(
+            cloud, opt_state, stats, key, i, scene_radius, config.densify
+        )
+        cloud, opt_state = jax.lax.cond(
+            do_reset,
+            lambda c, s: reset_opacity(c, s, config.densify),
+            lambda c, s: (c, s),
+            cloud,
+            opt_state,
+        )
+        metrics = {k: aux[k] for k in ("image_loss", "segmentation_loss", "total_loss")}
+        metrics.update({k: v for k, v in info.items()})
+        return cloud, opt_state, stats, metrics
+
+    return train_step, mutate_step, adam
+
+
+def fit(
+    point_cloud: np.ndarray,
+    views: list,
+    scene_radius: float,
+    config: Stage1Config = Stage1Config(),
+    logger=None,
+    progress: bool = False,
+):
+    """Run the full stage-1 fit; `views` is a list of objects with
+    (w2c, K, width, height, image, segmentation) — see data.dataset.ViewData.
+
+    Returns (cloud, metrics_history_last).
+    """
+    capacity = int(point_cloud.shape[0] * config.capacity_factor)
+    capacity = -(-capacity // 256) * 256
+    cloud = initialize_cloud(point_cloud, capacity)
+    v0 = views[0]
+    camera_static = Camera(
+        w2c=jnp.asarray(v0.w2c),
+        K=jnp.asarray(v0.K),
+        width=v0.width,
+        height=v0.height,
+    )
+    train_step, mutate_step, adam = make_step_fns(camera_static, config, scene_radius)
+    opt_state = adam.init(cloud.param_dict())
+    stats = init_stats(capacity)
+
+    # Device-stage the views once (timestep 0 only, like `densify.py:212-216`).
+    dev_views = [
+        (
+            jnp.asarray(v.w2c),
+            jnp.asarray(v.K),
+            jnp.asarray(v.image),
+            jnp.asarray(v.segmentation),
+        )
+        for v in views
+    ]
+
+    rng = np.random.default_rng(config.seed)
+    key = jax.random.key(config.seed)
+    buffer: list[int] = []
+    dcfg = config.densify
+    iterator = range(config.iterations)
+    if progress:
+        import tqdm
+
+        iterator = tqdm.tqdm(iterator, desc="stage1")
+    metrics = {}
+    for i in iterator:
+        if not buffer:
+            buffer = list(rng.permutation(len(dev_views)))
+        w2c, K, image, seg = dev_views[buffer.pop()]
+        if dcfg.is_mutation_iter(i):
+            key, sub = jax.random.split(key)
+            cloud, opt_state, stats, metrics = mutate_step(
+                cloud,
+                opt_state,
+                stats,
+                w2c,
+                K,
+                image,
+                seg,
+                sub,
+                jnp.int32(i),
+                dcfg.is_opacity_reset_iter(i),
+            )
+        else:
+            accumulate = i <= dcfg.window_end
+            cloud, opt_state, stats, metrics = train_step(
+                cloud, opt_state, stats, w2c, K, image, seg, accumulate
+            )
+        if logger is not None:
+            logger.log(metrics, step=i)
+    if logger is not None:
+        logger.flush()
+    return cloud, metrics

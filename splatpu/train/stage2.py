@@ -1,0 +1,311 @@
+"""Stage 2: train the deformation network over an autoregressive timestep
+rollout.
+
+TPU-native re-design of reference `train.py:687-806` (SURVEY.md §3.2):
+
+- the timestep loop is inherently serial (step t consumes step t-1's outputs,
+  `train.py:759-765`), so the Python loop remains, but each step is ONE jitted
+  function: deform -> render V sampled views -> L1+SSIM+rigidity losses ->
+  grads (network only) -> Adam + warmup-cosine schedule -> re-encode the
+  "previous" state from the *updated* cloud (detached, exactly like the
+  reference's recompute-before-backward — there is no BPTT across timesteps);
+- rigidity is computed once and multiplied by the view count (the reference
+  recomputes an identical value per view and sums, `train.py:395-418`);
+- the Gaussian cloud is frozen (`train.py:155-163`) and dense/compacted; the
+  foreground index set is static (see splatpu.dynamics.rigidity).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from splatpu.core.types import Camera, GaussianCloud, activate_cloud
+from splatpu.dynamics.deform import (
+    normalize_and_encode_means_and_rotations,
+    update_cloud_parameters,
+)
+from splatpu.dynamics.network import DeformationNetConfig, init_deformation_net
+from splatpu.dynamics.rigidity import (
+    ForegroundInfo,
+    NeighborInfo,
+    build_neighbor_info,
+    foreground_info,
+    rigidity_loss,
+)
+from splatpu.core.quaternion import quat_normalize
+from splatpu.render.api import default_config, render
+from splatpu.render.binning import BinningConfig
+from splatpu.core.ssim import ssim
+from splatpu.train.losses import L1_WEIGHT, RIGIDITY_WEIGHT, SSIM_WEIGHT
+from splatpu.train.optim import make_stage2_optimizer
+
+
+@dataclasses.dataclass(frozen=True)
+class Stage2Config:
+    """Mirrors the reference CLI (`train.py:31-42,809-847`)."""
+
+    total_iterations: int = 20
+    warmup_iterations: int = 2
+    learning_rate: float = 1e-3
+    hidden_dim: int = 128
+    residual_blocks: int = 3
+    views_per_step: int = 5            # `train.py:753`
+    timestep_count: int = 10
+    renderer: str = "auto"
+    binning: Optional[BinningConfig] = None
+    quirk_compat: bool = True
+    compute_dtype: str = "float32"
+    seed: int = 0
+
+    def net_config(self) -> DeformationNetConfig:
+        return DeformationNetConfig(
+            hidden_dim=self.hidden_dim,
+            residual_blocks=self.residual_blocks,
+            compute_dtype=self.compute_dtype,
+        )
+
+
+def compact_cloud(cloud: GaussianCloud) -> GaussianCloud:
+    """Gather alive rows to the front and shrink to the alive count
+    (host-side, once, between stages). Stage-2 math then runs dense."""
+    alive = np.asarray(cloud.alive)
+    idx = np.where(alive)[0]
+    params = {k: jnp.asarray(np.asarray(v)[idx]) for k, v in cloud.param_dict().items()}
+    return GaussianCloud(alive=jnp.ones((len(idx),), bool), **params)
+
+
+@dataclasses.dataclass
+class Stage2State:
+    net_params: dict
+    opt_state: tuple
+    encoded_previous: jax.Array
+    previous_foreground: ForegroundInfo
+
+
+def setup(
+    initial_cloud: GaussianCloud, config: Stage2Config, key=None
+):
+    """Static setup: foreground indices, neighbor graph, initial encodings."""
+    if key is None:
+        key = jax.random.key(config.seed)
+    cloud = compact_cloud(initial_cloud)
+    fg_idx = jnp.asarray(
+        np.where(np.asarray(cloud.segmentation_masks)[:, 0] > 0.5)[0], jnp.int32
+    )
+    neighbor_info = build_neighbor_info(cloud.means[fg_idx])
+    encoded_initial = normalize_and_encode_means_and_rotations(
+        cloud.means, cloud.rotation_quaternions, quirk_compat=config.quirk_compat
+    )
+    net_params = init_deformation_net(key, config.net_config())
+    optimizer = make_stage2_optimizer(
+        config.learning_rate,
+        config.warmup_iterations * config.timestep_count,
+        config.total_iterations * config.timestep_count,
+    )
+    opt_state = optimizer.init(net_params)
+    return cloud, fg_idx, neighbor_info, encoded_initial, net_params, optimizer, opt_state
+
+
+def snapshot_previous(cloud: GaussianCloud, fg_idx, neighbor_info: NeighborInfo, quirk_compat=True):
+    """`train.py:251-266`: encode current state + foreground snapshot, detached."""
+    enc = jax.lax.stop_gradient(
+        normalize_and_encode_means_and_rotations(
+            cloud.means, cloud.rotation_quaternions, quirk_compat=quirk_compat
+        )
+    )
+    fg = foreground_info(
+        cloud.means[fg_idx],
+        cloud.rotation_quaternions[fg_idx],
+        neighbor_info.indices,
+    )
+    return enc, fg
+
+
+def make_train_step(
+    initial_cloud: GaussianCloud,
+    fg_idx,
+    neighbor_info: NeighborInfo,
+    encoded_initial,
+    optimizer,
+    config: Stage2Config,
+):
+    net_config = config.net_config()
+    binning = config.binning
+    vps = config.views_per_step
+
+    def step(
+        net_params,
+        opt_state,
+        encoded_previous,
+        previous_fg: ForegroundInfo,
+        timestep,
+        w2c,        # (V, 4, 4)
+        K,          # (V, 3, 3)
+        images,     # (V, 3, H, W)
+        camera_static: Camera,
+    ):
+        def losses(net_params):
+            updated = update_cloud_parameters(
+                net_params,
+                initial_cloud,
+                encoded_initial,
+                encoded_previous,
+                timestep,
+                config.timestep_count,
+                net_config,
+                config.quirk_compat,
+            )
+            rig = rigidity_loss(
+                updated.means[fg_idx],
+                updated.rotation_quaternions[fg_idx],
+                neighbor_info,
+                previous_fg,
+            )
+            args = activate_cloud(updated)
+
+            def render_one(view):
+                vw2c, vK, target = view
+                cam = camera_static.replace(w2c=vw2c, K=vK)
+                out = render(args, cam, impl=config.renderer, config=binning)
+                l1 = jnp.mean(jnp.abs(out.image - target))
+                ssim_loss = 1.0 - ssim(out.image, target)
+                return l1, ssim_loss
+
+            l1s, ssims = jax.lax.map(render_one, (w2c, K, images))
+            l1_sum = jnp.sum(l1s)
+            ssim_sum = jnp.sum(ssims)
+            image_loss = L1_WEIGHT * l1_sum + SSIM_WEIGHT * ssim_sum
+            # The reference sums an identical rigidity value once per sampled
+            # view (`train.py:395-418`); the multiplier is the actual count.
+            n_views = w2c.shape[0]
+            total = image_loss + RIGIDITY_WEIGHT * (n_views * rig)
+            aux = {
+                "l1": l1_sum,
+                "ssim": ssim_sum,
+                "image": image_loss,
+                "rigidity": n_views * rig,
+                "total": total,
+                "_updated": updated,
+            }
+            return total, aux
+
+        grads, aux = jax.grad(losses, has_aux=True)(net_params)
+        updated = aux.pop("_updated")
+        grad_norm = jnp.sqrt(
+            sum(jnp.sum(g * g) for g in jax.tree.leaves(grads))
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, net_params)
+        net_params = jax.tree.map(lambda p, u: p + u, net_params, updates)
+        enc_prev, prev_fg = snapshot_previous(
+            jax.lax.stop_gradient(updated), fg_idx, neighbor_info, config.quirk_compat
+        )
+        aux["grad_norm"] = grad_norm
+        return net_params, opt_state, enc_prev, prev_fg, aux
+
+    return jax.jit(step, static_argnames=())
+
+
+def rollout_step(
+    net_params,
+    initial_cloud: GaussianCloud,
+    encoded_initial,
+    encoded_previous,
+    timestep,
+    config: Stage2Config,
+):
+    """One no-grad deformation step for inference (`train.py:575-585`)."""
+    updated = update_cloud_parameters(
+        net_params,
+        initial_cloud,
+        encoded_initial,
+        encoded_previous,
+        timestep,
+        config.timestep_count,
+        config.net_config(),
+        config.quirk_compat,
+    )
+    enc_prev = normalize_and_encode_means_and_rotations(
+        updated.means, updated.rotation_quaternions, quirk_compat=config.quirk_compat
+    )
+    return updated, enc_prev
+
+
+def train(
+    initial_cloud: GaussianCloud,
+    views_by_timestep,     # list[T] of list[ViewData] (timesteps 1..T)
+    config: Stage2Config,
+    logger=None,
+    progress: bool = False,
+):
+    """Full stage-2 training loop (`train.py:728-776`)."""
+    (
+        cloud,
+        fg_idx,
+        neighbor_info,
+        encoded_initial,
+        net_params,
+        optimizer,
+        opt_state,
+    ) = setup(initial_cloud, config)
+    step_fn = make_train_step(
+        cloud, fg_idx, neighbor_info, encoded_initial, optimizer, config
+    )
+
+    v0 = views_by_timestep[0][0]
+    camera_static = Camera(
+        w2c=jnp.asarray(v0.w2c), K=jnp.asarray(v0.K), width=v0.width, height=v0.height
+    )
+    # Device-stage all views once (reference preloads everything,
+    # `train.py:207-217`).
+    staged = [
+        [
+            (jnp.asarray(v.w2c), jnp.asarray(v.K), jnp.asarray(v.image))
+            for v in views
+        ]
+        for views in views_by_timestep
+    ]
+
+    rng = np.random.default_rng(config.seed)
+    t_count = config.timestep_count
+    outer = range(config.total_iterations)
+    if progress:
+        import tqdm
+
+        outer = tqdm.tqdm(outer, desc="stage2")
+    metrics = {}
+    for seq_it in outer:
+        enc_prev, prev_fg = snapshot_previous(
+            cloud, fg_idx, neighbor_info, config.quirk_compat
+        )
+        for timestep in range(1, t_count + 1):
+            step_idx = seq_it * t_count + timestep
+            views = staged[timestep - 1]
+            # Without-replacement sample like `train.py:753`; clamped so small
+            # synthetic scenes with fewer cameras than views_per_step work.
+            pick = rng.choice(
+                len(views), size=min(config.views_per_step, len(views)), replace=False
+            )
+            w2c = jnp.stack([views[i][0] for i in pick])
+            K = jnp.stack([views[i][1] for i in pick])
+            images = jnp.stack([views[i][2] for i in pick])
+            net_params, opt_state, enc_prev, prev_fg, metrics = step_fn(
+                net_params,
+                opt_state,
+                enc_prev,
+                prev_fg,
+                jnp.float32(timestep),
+                w2c,
+                K,
+                images,
+                camera_static,
+            )
+            if logger is not None:
+                logger.log(metrics, step=step_idx)
+    if logger is not None:
+        logger.flush()
+    return net_params, cloud, encoded_initial, metrics
