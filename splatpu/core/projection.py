@@ -70,12 +70,42 @@ class Splats2D:
     visible: jax.Array   # (N,) bool — in frustum, positive-definite cov, radius>0
 
 
+def _rotation_columns(rotations, eps=1e-12):
+    """Rotation-matrix entries as nine (N,) columns R[i][j].
+
+    TPU-layout note: (N, 3, 3) arrays pad their minor dims to (8, 128) tiles —
+    a ~100x memory blowup — so preprocess never materializes matrix-shaped
+    intermediates; everything stays (N,) columns that XLA fuses freely.
+    """
+    from splatpu.core.quaternion import quat_normalize
+
+    q = quat_normalize(rotations, eps=eps)
+    r, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    return [
+        [1 - 2 * (y * y + z * z), 2 * (x * y - r * z), 2 * (x * z + r * y)],
+        [2 * (x * y + r * z), 1 - 2 * (x * x + z * z), 2 * (y * z - r * x)],
+        [2 * (x * z - r * y), 2 * (y * z + r * x), 1 - 2 * (x * x + y * y)],
+    ]
+
+
+def compute_cov3d_columns(scales, rotations):
+    """Sigma = R diag(s^2) R^T as a 3x3 nest of (N,) columns."""
+    R = _rotation_columns(rotations)
+    s = [scales[:, 0], scales[:, 1], scales[:, 2]]
+    RS = [[R[i][k] * s[k] for k in range(3)] for i in range(3)]
+    return [
+        [sum(RS[i][k] * RS[j][k] for k in range(3)) for j in range(3)]
+        for i in range(3)
+    ]
+
+
 def compute_cov3d(scales: jax.Array, rotations: jax.Array) -> jax.Array:
-    """Sigma = R diag(s^2) R^T, returned as (N, 3, 3)."""
-    R = build_rotation(rotations, eps=1e-12)  # (N, 3, 3)
-    # R * diag(s): scale columns of R.
-    RS = R * scales[:, None, :]
-    return jnp.matmul(RS, jnp.swapaxes(RS, -1, -2), precision=jax.lax.Precision.HIGHEST)
+    """Sigma = R diag(s^2) R^T, returned as (N, 3, 3) (tests/debug only —
+    the hot path uses `compute_cov3d_columns`)."""
+    cols = compute_cov3d_columns(scales, rotations)
+    return jnp.stack(
+        [jnp.stack(r, axis=-1) for r in cols], axis=-2
+    )
 
 
 def preprocess(args: RenderArgs, camera: Camera) -> Splats2D:
@@ -83,16 +113,26 @@ def preprocess(args: RenderArgs, camera: Camera) -> Splats2D:
     means = args.means3d
     n = means.shape[0]
 
-    # View-space positions.
+    # View-space positions (unrolled mat-vec: stays elementwise/fused, exact f32).
     Rw = camera.w2c[:3, :3]
     tw = camera.w2c[:3, 3]
-    p_view = jnp.matmul(means, Rw.T, precision=jax.lax.Precision.HIGHEST) + tw  # (N, 3)
+
+    def matvec_rows(M, v3, bias):  # (R, 3) @ (N, 3)^T + (R,) -> (N, R)
+        return jnp.stack(
+            [
+                v3[:, 0] * M[r, 0] + v3[:, 1] * M[r, 1] + v3[:, 2] * M[r, 2] + bias[r]
+                for r in range(M.shape[0])
+            ],
+            axis=-1,
+        )
+
+    p_view = matvec_rows(Rw, means, tw)  # (N, 3)
     tz = p_view[:, 2]
     in_front = tz > NEAR_CULL_Z
 
     # Clip-space -> NDC -> pixels (ndc2Pix convention).
     P = full_projection_matrix(camera)
-    p_hom = jnp.matmul(means, P[:, :3].T, precision=jax.lax.Precision.HIGHEST) + P[:, 3]  # (N, 4)
+    p_hom = matvec_rows(P[:, :3], means, P[:, 3])  # (N, 4)
     p_w = 1.0 / (p_hom[:, 3] + 1e-7)
     ndc = p_hom[:, :2] * p_w[:, None]
     # means2d_offset is an additive zero in NDC units; its cotangent is the
@@ -103,8 +143,8 @@ def preprocess(args: RenderArgs, camera: Camera) -> Splats2D:
     wh = jnp.array([camera.width, camera.height], jnp.float32)
     mean2d = ((ndc + 1.0) * wh - 1.0) * 0.5
 
-    # EWA: 2D covariance.
-    cov3d = compute_cov3d(args.scales, args.rotations)  # (N, 3, 3)
+    # EWA: 2D covariance (all (N,) columns; see _rotation_columns layout note).
+    cov3d = compute_cov3d_columns(args.scales, args.rotations)
     limx = 1.3 * camera.tan_fovx
     limy = 1.3 * camera.tan_fovy
     tz_safe = jnp.where(tz == 0.0, 1e-6, tz)
@@ -117,22 +157,29 @@ def preprocess(args: RenderArgs, camera: Camera) -> Splats2D:
     inv_z = 1.0 / tz_safe
     inv_z2 = inv_z * inv_z
     zeros = jnp.zeros_like(tz)
-    # J: (N, 2, 3) Jacobian of perspective projection at the clamped point.
-    J = jnp.stack(
-        [
-            jnp.stack([fx * inv_z, zeros, -fx * tx * inv_z2], axis=-1),
-            jnp.stack([zeros, fy * inv_z, -fy * ty * inv_z2], axis=-1),
-        ],
-        axis=-2,
-    )
-    hi = jax.lax.Precision.HIGHEST
-    JW = jnp.matmul(J, Rw, precision=hi)  # (N, 2, 3)
-    cov2d = jnp.matmul(
-        jnp.matmul(JW, cov3d, precision=hi), jnp.swapaxes(JW, -1, -2), precision=hi
-    )  # (N, 2, 2)
-    a = cov2d[:, 0, 0] + COV2D_DILATION
-    b = cov2d[:, 0, 1]
-    c = cov2d[:, 1, 1] + COV2D_DILATION
+    # J: per-Gaussian 2x3 perspective Jacobian rows, kept as columns of
+    # elementwise arrays; all products below are unrolled so the whole EWA
+    # stage fuses into one VPU kernel (batched tiny matmuls would not).
+    J_rows = [
+        [fx * inv_z, zeros, -fx * tx * inv_z2],
+        [zeros, fy * inv_z, -fy * ty * inv_z2],
+    ]
+    # JW[a][b] = sum_k J[a][k] * Rw[k, b]   -> (N,) each
+    JW = [
+        [sum(J_rows[r][k] * Rw[k, b] for k in range(3)) for b in range(3)]
+        for r in range(2)
+    ]
+    # cov2d[r][c] = sum_{k,l} JW[r][k] * cov3d[k][l] * JW[c][l]
+    def cov2d_entry(r, c_):
+        acc = 0.0
+        for k in range(3):
+            tmp = sum(cov3d[k][l] * JW[c_][l] for l in range(3))
+            acc = acc + JW[r][k] * tmp
+        return acc
+
+    a = cov2d_entry(0, 0) + COV2D_DILATION
+    b = cov2d_entry(0, 1)
+    c = cov2d_entry(1, 1) + COV2D_DILATION
 
     det = a * c - b * b
     det_valid = det > 0.0

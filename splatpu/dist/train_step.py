@@ -22,20 +22,19 @@ from splatpu.train.stage2 import Stage2Config, snapshot_previous
 
 
 def make_sharded_train_step(
-    initial_cloud: GaussianCloud,
-    fg_idx,
-    neighbor_info,
-    encoded_initial,
     optimizer,
     config: Stage2Config,
     mesh: Mesh,
     camera_static: Camera,
 ):
+    """Like `stage2.make_train_step` but with views sharded over the mesh.
+
+    Device state (cloud, encodings, graph) is passed per call, never closed
+    over (axon embedded-constant cost; see stage2.make_train_step)."""
     net_config = config.net_config()
     image_losses = make_camera_sharded_image_losses(
         mesh, camera_static, config.renderer, config.binning
     )
-    vps = config.views_per_step
 
     def step(
         net_params,
@@ -47,6 +46,10 @@ def make_sharded_train_step(
         K,        # (Vp, 3, 3)
         images,   # (Vp, 3, H, W)
         weights,  # (Vp,) 1 = real view, 0 = padding
+        initial_cloud: GaussianCloud,
+        encoded_initial,
+        fg_idx,
+        neighbor_info,
     ):
         def losses(net_params):
             updated = update_cloud_parameters(

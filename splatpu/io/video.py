@@ -26,9 +26,17 @@ def write_frame(path: Path, image_chw: np.ndarray) -> np.ndarray:
     return frame
 
 
-def write_video(path: Path, frames: list[np.ndarray], fps: int = 30):
+def write_video(path: Path, frames: list[np.ndarray], fps: int = 30) -> Path:
+    """Write an mp4; falls back to GIF (pillow backend, always available) when
+    no ffmpeg backend exists in the environment. Returns the path written."""
     import imageio
 
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    imageio.mimwrite(path, frames, fps=fps)
+    try:
+        imageio.mimwrite(path, frames, fps=fps)
+        return path
+    except Exception:
+        gif = path.with_suffix(".gif")
+        imageio.mimwrite(gif, frames, duration=1000.0 / fps, loop=0)
+        return gif

@@ -1,0 +1,85 @@
+"""Profiling and timing harness (SURVEY.md §5.1 — absent in the reference).
+
+- `time_fn`: block_until_ready wall-clock timing with warmup, for kernels and
+  train steps.
+- `trace`: context manager around `jax.profiler.trace` writing a TensorBoard-
+  loadable trace directory.
+- `debug_nan_mode`: enables jax_debug_nans (SURVEY.md §5.2) for debugging.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Callable
+
+import jax
+
+
+def force_completion(out) -> float:
+    """Fetch one element of every array leaf to the host.
+
+    On the axon TPU tunnel, `jax.block_until_ready` returns before execution
+    actually finishes; only a host transfer truly synchronizes.  Per-leaf
+    element fetches are cheap and wait for the producing executable.
+    """
+    acc = 0.0
+    for leaf in jax.tree.leaves(out):
+        if hasattr(leaf, "ravel") and getattr(leaf, "size", 0):
+            acc += float(leaf.ravel()[0].astype("float32"))
+    return acc
+
+
+def time_fn(
+    fn: Callable, *args, warmup: int = 2, iters: int = 10, args_fn=None
+) -> dict:
+    """Returns {'mean_ms', 'best_ms', 'iters'} for fn(*args) with true
+    host-observed completion between measurements.
+
+    Pass ``args_fn(i) -> tuple`` to give every iteration distinct inputs —
+    the axon tunnel memoizes executions on identical inputs, so repeated
+    identical launches measure the cache, not the TPU.
+    """
+    get = args_fn if args_fn is not None else (lambda i: args)
+    # Materialize every iteration's inputs BEFORE the clock starts: even a
+    # single eager op costs ~10+ ms through the tunnel and would otherwise be
+    # timed as part of fn.
+    all_inputs = [get(i) for i in range(-(warmup + 1), iters)]
+    for a in all_inputs:
+        force_completion(a)
+    warm_inputs, inputs = all_inputs[: warmup + 1], all_inputs[warmup + 1 :]
+    for a in warm_inputs:
+        force_completion(fn(*a))
+    # Throughput measurement: enqueue `iters` distinct executions and observe
+    # completion once at the end.  Executions on a single chip are
+    # FIFO-serialized, so elapsed/iters is the true per-call cost with only
+    # one fetch round-trip (~tens of ms through the tunnel) amortized away.
+    t0 = time.perf_counter()
+    out = None
+    for a in inputs:
+        out = fn(*a)
+    force_completion(out)
+    elapsed_ms = (time.perf_counter() - t0) * 1000.0
+    return {
+        "mean_ms": elapsed_ms / iters,
+        "best_ms": elapsed_ms / iters,
+        "iters": iters,
+    }
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+@contextlib.contextmanager
+def debug_nan_mode():
+    jax.config.update("jax_debug_nans", True)
+    try:
+        yield
+    finally:
+        jax.config.update("jax_debug_nans", False)

@@ -346,6 +346,9 @@ def _composite_fwd_call(records, start, end, bg, *, num_tiles, tiles_x, G, C):
         grid_spec=grid_spec,
         out_shape=out_shapes,
         interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
     )(start, end, records, bg)
     return img, depth, tfin, last
 
@@ -382,6 +385,9 @@ def _composite_bwd_call(
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct(records.shape, jnp.float32)],
         interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
     )(start, end, records, tfin, last, g_img_pix, g_dep, g_tf, bg)
     return grads
 

@@ -96,15 +96,17 @@ def run_inference(
     impl = renderer or config.renderer
     cameras = create_orbit_cameras(width, height)
 
+    # Device arrays (cloud, encodings, camera matrices) are jit ARGUMENTS —
+    # closure-captured arrays cost ~30 ms/exec on the axon platform.
     @jax.jit
-    def rollout(net_params, enc_prev, timestep):
-        return rollout_step(
-            net_params, initial_cloud, encoded_initial, enc_prev, timestep, config
-        )
+    def rollout(net_params, cloud0, enc_init, enc_prev, timestep):
+        return rollout_step(net_params, cloud0, enc_init, enc_prev, timestep, config)
+
+    cam0 = next(iter(cameras.values()))
 
     @jax.jit
     def render_view(cloud: GaussianCloud, w2c, K):
-        cam = next(iter(cameras.values())).replace(w2c=w2c, K=K)
+        cam = cam0.replace(w2c=w2c, K=K)
         return render(
             activate_cloud(cloud), cam, impl=impl, config=config.binning
         ).image
@@ -114,7 +116,9 @@ def run_inference(
     enc_prev = encoded_initial
     t_count = config.timestep_count
     for timestep in range(1, t_count + 1):
-        cloud, enc_prev = rollout(net_params, enc_prev, jnp.float32(timestep))
+        cloud, enc_prev = rollout(
+            net_params, initial_cloud, encoded_initial, enc_prev, jnp.float32(timestep)
+        )
         for name, cam in cameras.items():
             img = render_view(cloud, cam.w2c, cam.K)
             if output_directory is not None:

