@@ -46,9 +46,9 @@ def main():
     )
     cam = make_lookat_camera(eye=(0, 0, -4.0), width=w, height=h, focal=0.8 * w)
     config = BinningConfig(
-        max_span=64,
-        max_pairs=1 << (21 if on_tpu else 15),
-        chunk_pairs=2048 if on_tpu else 1024,
+        max_span=32,
+        max_pairs=1 << (20 if on_tpu else 15),
+        chunk_pairs=256,
     )
     impl = "pallas" if on_tpu and _pallas_available() else "stream"
     target = jnp.zeros((3, h, w))

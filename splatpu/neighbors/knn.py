@@ -27,6 +27,14 @@ def knn(points: jax.Array, k: int, chunk: int = 1024):
     ascending distance — the same contract as `shared.py:45-61`.
     """
     n = points.shape[0]
+    if k > n - 1:
+        # Fewer points than requested neighbors: return the n-1 real ones and
+        # pad with index 0 / infinite distance (downstream weights vanish).
+        idx, d2 = knn(points, k=max(n - 1, 1), chunk=chunk)
+        pad = k - idx.shape[1]
+        idx = jnp.pad(idx, ((0, 0), (0, pad)))
+        d2 = jnp.pad(d2, ((0, 0), (0, pad)), constant_values=jnp.inf)
+        return idx, d2
     pts = points.astype(jnp.float32)
     sq_norm = jnp.sum(pts * pts, axis=-1)  # (N,)
 

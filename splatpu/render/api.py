@@ -60,10 +60,11 @@ def render(
 
 
 def default_config(n_gaussians: int) -> BinningConfig:
-    """Pair budget heuristic: ~16 tiles per Gaussian, power-of-two, bounded."""
+    """Pair budget heuristic: ~8 tiles per Gaussian, power-of-two, bounded.
+    Check `PairStream.overflowed` for scenes that blow the budget."""
 
     def next_pow2(x):
-        return 1 << max(10, (int(x) - 1).bit_length())
+        return 1 << max(12, (int(x) - 1).bit_length())
 
-    budget = min(max(n_gaussians * 16, 1 << 12), 1 << 22)
+    budget = min(max(n_gaussians * 8, 1 << 12), 1 << 21)
     return BinningConfig(max_pairs=next_pow2(budget))

@@ -47,7 +47,9 @@ class BinningConfig:
     and keeps forward DMA reads aligned.
     """
 
-    max_span: int = 64       # max tiles a single Gaussian may cover (rest dropped)
+    max_span: int = 32       # max tiles a single Gaussian may cover (rest dropped;
+                             # emission work scales with this — `overflowed` flags
+                             # scenes that need more)
     max_pairs: int = 2**20   # total pair budget (pre-alignment)
     chunk_pairs: int = 256   # pair-stream chunk size AND tile segment alignment
 
@@ -172,6 +174,9 @@ def build_pair_stream(
     end = jnp.searchsorted(tile_of_pair, tile_ids, side="right").astype(jnp.int32)
 
     # --- Re-align: give every tile a chunk-aligned segment. ---
+    # Mapping is pure index arithmetic (searchsorted + gather composition);
+    # no scatter: padded position q belongs to the tile whose aligned segment
+    # contains it, and maps back to sorted position start[t] + offset.
     chunk = config.chunk_pairs
     padded_cap = config.padded_capacity(num_tiles)
     lengths = end - start
@@ -179,20 +184,16 @@ def build_pair_stream(
     padded_start = (jnp.cumsum(padded_len) - padded_len).astype(jnp.int32)
     padded_end = padded_start + lengths
 
-    p_idx = jnp.arange(max_pairs, dtype=jnp.int32)
-    src_valid = tile_of_pair < num_tiles
-    t_clamped = jnp.minimum(tile_of_pair, num_tiles - 1)
-    q = padded_start[t_clamped] + (p_idx - start[t_clamped])
-    q = jnp.where(src_valid, q, padded_cap)  # OOB => dropped
-    q = jax.lax.stop_gradient(q)
-
-    gid_padded = jnp.zeros((padded_cap,), jnp.int32).at[q].set(
-        gids_sorted, mode="drop"
+    q_pos = jnp.arange(padded_cap, dtype=jnp.int32)
+    tile_of_q = (
+        jnp.searchsorted(padded_start, q_pos, side="right").astype(jnp.int32) - 1
     )
-    tile_padded = jnp.full((padded_cap,), num_tiles, jnp.int32).at[q].set(
-        tile_of_pair, mode="drop"
-    )
-    valid_padded = jnp.zeros((padded_cap,), bool).at[q].set(True, mode="drop")
+    tile_of_q = jnp.clip(tile_of_q, 0, num_tiles - 1)
+    within = q_pos - padded_start[tile_of_q]
+    valid_padded = within < lengths[tile_of_q]
+    src_p = jnp.clip(start[tile_of_q] + within, 0, max_pairs - 1)
+    gid_padded = jnp.where(valid_padded, gids_sorted[src_p], 0)
+    tile_padded = jnp.where(valid_padded, tile_of_q, num_tiles)
 
     # --- Gather records into aligned pair order (contiguous downstream reads). ---
     g = gid_padded

@@ -135,17 +135,30 @@ def _fwd_kernel(
 
     nchunks = (e - s + G - 1) // G
 
-    def body(k, carry):
+    def chunk_dma(k, slot):
         # Segment starts are chunk-aligned by construction (binning.py);
         # the hint lets Mosaic prove the HBM slice is tile-divisible.
         s0 = pl.multiple_of(s + k * G, G)
-        cp = pltpu.make_async_copy(
-            records_ref.at[:, pl.ds(s0, G)], rec_buf, sem
+        return pltpu.make_async_copy(
+            records_ref.at[:, pl.ds(s0, G)], rec_buf.at[slot], sem.at[slot]
         )
-        cp.start()
-        cp.wait()
+
+    # Double-buffered: chunk k+1's DMA is in flight while k is composited.
+    @pl.when(nchunks > 0)
+    def _():
+        chunk_dma(0, 0).start()
+
+    def body(k, carry):
+        slot = k % 2
+
+        @pl.when(k + 1 < nchunks)
+        def _():
+            chunk_dma(k + 1, (k + 1) % 2).start()
+
+        chunk_dma(k, slot).wait()
+        s0 = pl.multiple_of(s + k * G, G)
         pos = s0 + lane
-        geo = _chunk_geometry(rec_buf[:], px, py, pos, e)
+        geo = _chunk_geometry(rec_buf[slot], px, py, pos, e)
         alpha = geo["alpha"]
 
         z = jnp.log1p(-alpha)
@@ -158,7 +171,7 @@ def _fwd_kernel(
         contribute = (failcnt == 0.0) & (failed[:] == 0.0)
         w = jnp.where(contribute, alpha * t_excl, 0.0)
 
-        colors = rec_buf[R_COLOR0 : R_COLOR0 + C, :]
+        colors = rec_buf[slot, R_COLOR0 : R_COLOR0 + C, :]
         img_ref[0] += jax.lax.dot_general(
             colors, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
@@ -328,8 +341,8 @@ def _composite_fwd_call(records, start, end, bg, *, num_tiles, tiles_x, G, C):
             pl.BlockSpec((1, NPIX, 1), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((NREC, G), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, NREC, G), jnp.float32),   # double-buffered records
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((NPIX, 1), jnp.float32),
             pltpu.VMEM((NPIX, 1), jnp.float32),
         ],

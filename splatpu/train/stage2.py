@@ -60,6 +60,7 @@ class Stage2Config:
     binning: Optional[BinningConfig] = None
     quirk_compat: bool = True
     compute_dtype: str = "float32"
+    view_batching: str = "map"  # "map" = sequential renders; "vmap" = batched
     seed: int = 0
 
     def net_config(self) -> DeformationNetConfig:
@@ -143,15 +144,20 @@ def make_train_step(optimizer, config: Stage2Config):
         encoded_previous,
         previous_fg: ForegroundInfo,
         timestep,
-        w2c,        # (V, 4, 4)
-        K,          # (V, 3, 3)
-        images,     # (V, 3, H, W)
+        all_w2c,    # (C, 4, 4) — ALL cameras of this timestep, staged once
+        all_K,      # (C, 3, 3)
+        all_images,  # (C, 3, H, W)
+        pick,       # (V,) int32 — this step's sampled views (device gather;
+                    # host-side stacking would cost an eager op per step)
         camera_static: Camera,
         initial_cloud: GaussianCloud,
         encoded_initial,
         fg_idx,
         neighbor_info: NeighborInfo,
     ):
+        w2c = all_w2c[pick]
+        K = all_K[pick]
+        images = all_images[pick]
         def losses(net_params):
             updated = update_cloud_parameters(
                 net_params,
@@ -179,7 +185,12 @@ def make_train_step(optimizer, config: Stage2Config):
                 ssim_loss = 1.0 - ssim(out.image, target)
                 return l1, ssim_loss
 
-            l1s, ssims = jax.lax.map(render_one, (w2c, K, images))
+            if config.view_batching == "vmap":
+                # One batched render: binning sorts batch-parallel, the
+                # Pallas grid gains a leading view dimension.
+                l1s, ssims = jax.vmap(render_one)((w2c, K, images))
+            else:
+                l1s, ssims = jax.lax.map(render_one, (w2c, K, images))
             l1_sum = jnp.sum(l1s)
             ssim_sum = jnp.sum(ssims)
             image_loss = L1_WEIGHT * l1_sum + SSIM_WEIGHT * ssim_sum
@@ -261,13 +272,15 @@ def train(
     camera_static = Camera(
         w2c=jnp.asarray(v0.w2c), K=jnp.asarray(v0.K), width=v0.width, height=v0.height
     )
-    # Device-stage all views once (reference preloads everything,
-    # `train.py:207-217`).
+    # Device-stage all views once, pre-stacked per timestep (reference
+    # preloads everything, `train.py:207-217`); per-step view selection is a
+    # device-side gather by index.
     staged = [
-        [
-            (jnp.asarray(v.w2c), jnp.asarray(v.K), jnp.asarray(v.image))
-            for v in views
-        ]
+        (
+            jnp.asarray(np.stack([v.w2c for v in views])),
+            jnp.asarray(np.stack([v.K for v in views])),
+            jnp.asarray(np.stack([v.image for v in views])),
+        )
         for views in views_by_timestep
     ]
 
@@ -285,24 +298,23 @@ def train(
         )
         for timestep in range(1, t_count + 1):
             step_idx = seq_it * t_count + timestep
-            views = staged[timestep - 1]
+            all_w2c, all_K, all_images = staged[timestep - 1]
             # Without-replacement sample like `train.py:753`; clamped so small
             # synthetic scenes with fewer cameras than views_per_step work.
+            n_cams = all_w2c.shape[0]
             pick = rng.choice(
-                len(views), size=min(config.views_per_step, len(views)), replace=False
+                n_cams, size=min(config.views_per_step, n_cams), replace=False
             )
-            w2c = jnp.stack([views[i][0] for i in pick])
-            K = jnp.stack([views[i][1] for i in pick])
-            images = jnp.stack([views[i][2] for i in pick])
             net_params, opt_state, enc_prev, prev_fg, metrics = step_fn(
                 net_params,
                 opt_state,
                 enc_prev,
                 prev_fg,
-                jnp.float32(timestep),
-                w2c,
-                K,
-                images,
+                np.float32(timestep),
+                all_w2c,
+                all_K,
+                all_images,
+                pick.astype(np.int32),
                 camera_static,
                 cloud,
                 encoded_initial,

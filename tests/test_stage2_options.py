@@ -1,0 +1,52 @@
+"""Stage-2 step option equivalence: vmap view batching == sequential map."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from splatpu.data.synthetic import make_random_cloud
+from splatpu.render.binning import BinningConfig
+from splatpu.train.stage2 import Stage2Config, make_train_step, setup, snapshot_previous
+from tests.test_e2e import ring_cameras
+
+BIN = BinningConfig(max_span=32, max_pairs=1 << 12, chunk_pairs=256)
+
+
+def _run(view_batching):
+    cloud = make_random_cloud(jax.random.key(0), 40)
+    cams = ring_cameras(4)
+    cfg = Stage2Config(
+        total_iterations=1,
+        warmup_iterations=1,
+        hidden_dim=32,
+        residual_blocks=1,
+        views_per_step=3,
+        timestep_count=2,
+        renderer="stream",
+        binning=BIN,
+        view_batching=view_batching,
+    )
+    (
+        dense_cloud, fg_idx, neighbor_info, enc_init,
+        net_params, optimizer, opt_state,
+    ) = setup(cloud, cfg)
+    step = make_train_step(optimizer, cfg)
+    all_w2c = jnp.stack([c.w2c for c in cams])
+    all_K = jnp.stack([c.K for c in cams])
+    h, w = cams[0].height, cams[0].width
+    all_images = jnp.full((4, 3, h, w), 0.25)
+    pick = np.array([0, 2, 3], np.int32)
+    enc_prev, prev_fg = snapshot_previous(dense_cloud, fg_idx, neighbor_info)
+    out = step(
+        net_params, opt_state, enc_prev, prev_fg, np.float32(1.0),
+        all_w2c, all_K, all_images, pick,
+        cams[0], dense_cloud, enc_init, fg_idx, neighbor_info,
+    )
+    return out[4]  # aux metrics
+
+
+def test_vmap_matches_map():
+    a = _run("map")
+    b = _run("vmap")
+    for k in ("l1", "ssim", "total", "grad_norm"):
+        np.testing.assert_allclose(float(a[k]), float(b[k]), rtol=2e-4, err_msg=k)
