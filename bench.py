@@ -30,6 +30,10 @@ ITERS = 10
 
 def main():
     import jax
+
+    from splatpu.obs.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from splatpu.core.types import activate_cloud
@@ -67,23 +71,23 @@ def main():
 
     cloud_params = cloud.param_dict()
 
-    def fwd_bwd_run(i):
-        # Perturb one input per iteration so no execution-result cache along
-        # the TPU path can short-circuit repeated identical launches.
-        p = dict(cloud_params, means=cloud_params["means"] + jnp.float32(i) * 1e-7)
-        return fwd_bwd(p, cloud.alive, cam, target)
+    # Distinct inputs per iteration (the tunnel memoizes identical
+    # executions), pre-materialized outside the timed region, completion
+    # observed via host fetch (block_until_ready returns early on the tunnel).
+    from splatpu.obs.profiling import time_fn
 
-    from splatpu.obs.profiling import force_completion
-
-    force_completion(fwd_bwd_run(0))
-    for i in range(WARMUP):
-        force_completion(fwd_bwd_run(i + 1))
-    t0 = time.perf_counter()
-    for i in range(ITERS):
-        # force_completion (a host fetch) rather than block_until_ready: the
-        # latter returns early on the axon tunnel and would time async queuing.
-        force_completion(fwd_bwd_run(100 + i))
-    ms = (time.perf_counter() - t0) / ITERS * 1000.0
+    stats = time_fn(
+        fwd_bwd,
+        warmup=WARMUP,
+        iters=ITERS,
+        args_fn=lambda i: (
+            dict(cloud_params, means=cloud_params["means"] + jnp.float32(i) * 1e-7),
+            cloud.alive,
+            cam,
+            target,
+        ),
+    )
+    ms = stats["mean_ms"]
 
     print(
         json.dumps(

@@ -44,31 +44,29 @@ def main():
     print("binning:", time_fn(lambda a: binf(a, cam), args_fn=jiggle, iters=5))
 
     st = binf(args0, cam)
-    tiles_x, tiles_y = tile_grid(cam)
-    static = (tiles_x * tiles_y, tiles_x, cfg.chunk_pairs, 3)
-    comp = jax.jit(
-        lambda m2, con, col, op, dep, s, e: _composite(
-            m2, con, col, op, dep, jnp.zeros((3,)), s, e, static
-        )
-    )
+    from splatpu.render.pallas_composite import composite_stream
+
+    bg = jnp.zeros((3,))
+    comp = jax.jit(lambda s, m2: composite_stream(s, cam, cfg, bg, g_mean2d=m2).image)
     print(
         "composite fwd:",
         time_fn(
-            lambda m2: comp(m2, st.conic, st.color, st.opacity, st.depth, st.start, st.end),
-            args_fn=lambda i: (st.mean2d + jnp.float32(i) * 1e-7,),
+            comp,
+            args_fn=lambda i: (st, st.splats.mean2d + jnp.float32(i) * 1e-7),
             iters=5,
         ),
     )
 
-    def comp_loss(m2, con, col, op, dep, s, e):
-        img, d, t = _composite(m2, con, col, op, dep, jnp.zeros((3,)), s, e, static)
-        return jnp.sum(img) * 0.3 + jnp.sum(d) * 0.1
-    comp_grad = jax.jit(jax.grad(comp_loss, argnums=(0, 1, 2, 3, 4)))
+    def comp_loss(s, m2):
+        out = composite_stream(s, cam, cfg, bg, g_mean2d=m2)
+        return jnp.sum(out.image) * 0.3 + jnp.sum(out.depth) * 0.1
+
+    comp_grad = jax.jit(jax.grad(comp_loss, argnums=1))
     print(
-        "composite fwd+bwd kernels:",
+        "composite fwd+bwd+routing:",
         time_fn(
-            lambda m2: comp_grad(m2, st.conic, st.color, st.opacity, st.depth, st.start, st.end),
-            args_fn=lambda i: (st.mean2d + jnp.float32(i) * 1e-7,),
+            comp_grad,
+            args_fn=lambda i: (st, st.splats.mean2d + jnp.float32(i) * 1e-7),
             iters=5,
         ),
     )

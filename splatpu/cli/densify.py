@@ -25,6 +25,9 @@ from splatpu.train.stage1 import Stage1Config, fit
 
 
 def main(argv=None):
+    from splatpu.obs.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     p = argparse.ArgumentParser(prog="splatpu-densify")
     p.add_argument("sequence_path", type=Path)
     p.add_argument("--iterations", type=int, default=30_000)

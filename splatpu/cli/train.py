@@ -23,6 +23,9 @@ from splatpu.train.stage2 import Stage2Config, train
 
 
 def main(argv=None):
+    from splatpu.obs.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     p = argparse.ArgumentParser(prog="splatpu-train")
     p.add_argument("sequence_name", type=str)
     p.add_argument("data_directory_path", type=Path)

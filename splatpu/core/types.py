@@ -122,6 +122,11 @@ class Camera:
     height: int = struct.field(pytree_node=False)
     near: float = struct.field(pytree_node=False, default=1.0)
     far: float = struct.field(pytree_node=False, default=100.0)
+    # FOV overrides for sub-image (strip) rendering: the EWA frustum clamp
+    # must use the FULL image's field of view, not the strip's, for strip
+    # renders to be bit-identical with full renders (see dist/tile_sharding).
+    fov_width: Optional[int] = struct.field(pytree_node=False, default=None)
+    fov_height: Optional[int] = struct.field(pytree_node=False, default=None)
 
     @property
     def fx(self):
@@ -141,11 +146,11 @@ class Camera:
 
     @property
     def tan_fovx(self):
-        return self.width / (2.0 * self.fx)
+        return (self.fov_width or self.width) / (2.0 * self.fx)
 
     @property
     def tan_fovy(self):
-        return self.height / (2.0 * self.fy)
+        return (self.fov_height or self.height) / (2.0 * self.fy)
 
     def campos(self):
         """Camera center in world coords = -R^T t (reference `shared.py:79`)."""

@@ -59,6 +59,82 @@ def render(
     raise ValueError(f"unknown renderer impl: {impl!r}")
 
 
+def render_dual(
+    args: RenderArgs,
+    colors_b: jax.Array,
+    camera: Camera,
+    bg=None,
+    impl: str = "auto",
+    config: BinningConfig | None = None,
+) -> tuple[RenderOutput, RenderOutput]:
+    """Two composites over ONE shared preprocess+binning: the primary render
+    uses ``args.colors``, the secondary uses ``colors_b`` (per-Gaussian
+    vectors, e.g. segmentation masks, `densify.py:136-151`).
+
+    Gradient contract matches the reference exactly: the ``means2d_offset``
+    screen-gradient collector receives cotangents from the PRIMARY render only
+    (`densify.py:130-132` retains grad only on the color render); all other
+    parameters receive gradients from both.
+
+    Geometry (projection, sort, tile ranges) is computed once — for stage-1
+    training this halves the per-step binning cost.
+    """
+    if impl == "auto":
+        impl = "pallas" if _on_tpu() else "stream"
+    if config is None:
+        config = default_config(args.n)
+    if impl == "oracle":
+        out_a = render_oracle(args, camera, bg)
+        seg_args = args.replace(
+            colors=colors_b,
+            means2d_offset=jax.lax.stop_gradient(args.means2d_offset),
+        )
+        return out_a, render_oracle(seg_args, camera, bg)
+
+    from splatpu.render.binning import build_pair_stream, gather_pair_records
+    import jax.numpy as jnp
+
+    c = args.colors.shape[1]
+    if bg is None:
+        bg = jnp.zeros((c,), jnp.float32)
+    stream = build_pair_stream(args, camera, config)
+    # Secondary mean2d: numerically identical but its AD lineage drops the
+    # offset (offset enters pixels linearly: mean2d = base + off * wh/2).
+    off = args.means2d_offset
+    wh = jnp.array([camera.width, camera.height], jnp.float32) * 0.5
+    mean2d_b = stream.splats.mean2d + (jax.lax.stop_gradient(off) - off) * wh
+
+    if impl == "stream":
+        from splatpu.render.stream import composite_pairs
+
+        def composite(records):
+            image, depth, t_final = composite_pairs(
+                stream, camera, config, bg, records=records
+            )
+            return RenderOutput(
+                image=image,
+                depth=depth,
+                radii=stream.splats.radius,
+                final_transmittance=t_final,
+            )
+
+        return (
+            composite(gather_pair_records(stream)),
+            composite(
+                gather_pair_records(stream, g_colors=colors_b, g_mean2d=mean2d_b)
+            ),
+        )
+
+    from splatpu.render.pallas_composite import composite_stream
+
+    return (
+        composite_stream(stream, camera, config, bg),
+        composite_stream(
+            stream, camera, config, bg, g_colors=colors_b, g_mean2d=mean2d_b
+        ),
+    )
+
+
 def default_config(n_gaussians: int) -> BinningConfig:
     """Pair budget heuristic: ~8 tiles per Gaussian, power-of-two, bounded.
     Check `PairStream.overflowed` for scenes that blow the budget."""

@@ -61,19 +61,27 @@ class BinningConfig:
 
 @struct.dataclass
 class PairStream:
-    """Depth-ordered, tile-segmented stream of splat records."""
+    """Depth-ordered, tile-segmented stream of splat indices + per-Gaussian
+    sources.  Per-pair records are gathered lazily (`gather_pair_records`) by
+    consumers that need them; the Pallas path gathers inside its custom_vjp so
+    the gather transpose is replaced by an explicit reduction."""
 
-    # Per-pair, sorted by (tile, depth). Length max_pairs (padded with invalid).
+    # Per-pair, sorted by (tile, depth). Length = padded capacity.
     tile: jax.Array       # (P,) int32; == num_tiles for invalid/padding pairs
     gid: jax.Array        # (P,) int32 gaussian index (0 for invalid)
-    mean2d: jax.Array     # (P, 2)
-    conic: jax.Array      # (P, 3)
-    color: jax.Array      # (P, C)
-    opacity: jax.Array    # (P,)
-    depth: jax.Array      # (P,)
+    # Per-Gaussian activated sources (visibility-masked opacity).
+    g_colors: jax.Array   # (N, C)
+    g_opacity: jax.Array  # (N,)
     # Per-tile ranges into the sorted pair arrays.
     start: jax.Array      # (num_tiles,) int32
     end: jax.Array        # (num_tiles,) int32
+    # Gradient-routing aux: emission layout (per-gaussian contiguous slots)
+    # and the emission-slot -> padded-position permutation.  Lets backward
+    # reduce per-pair gradients to per-gaussian gradients with gathers + a
+    # masked sum instead of scatter-adds (see pallas_composite).
+    emit_offsets: jax.Array   # (N,) int32 — first emission slot of gaussian g
+    emit_counts: jax.Array    # (N,) int32 — number of pairs of gaussian g
+    q_of_slot: jax.Array      # (max_pairs,) int32 — padded position per slot
     # Diagnostics.
     total_pairs: jax.Array     # () int32 — pairs before budget clipping
     overflowed: jax.Array      # () bool — pair budget or span budget exceeded
@@ -158,12 +166,17 @@ def build_pair_stream(
     )
     gids_buf = gids_buf.at[slot.reshape(-1)].set(gid_src.reshape(-1), mode="drop")
 
-    # --- Sort by fused key; carry gaussian ids along. ---
-    keys_sorted, gids_sorted = jax.lax.sort(
-        (keys_buf, gids_buf), dimension=0, num_keys=1
+    # --- Sort by fused key; carry gaussian ids and the sort permutation.
+    # (Pre-sort buffer index IS the emission slot, so the carried iota gives
+    # slot-of-sorted-position directly.)
+    keys_sorted, gids_sorted, slot_of_p = jax.lax.sort(
+        (keys_buf, gids_buf, jnp.arange(max_pairs, dtype=jnp.int32)),
+        dimension=0,
+        num_keys=1,
     )
     keys_sorted = jax.lax.stop_gradient(keys_sorted)
     gids_sorted = jax.lax.stop_gradient(gids_sorted)
+    slot_of_p = jax.lax.stop_gradient(slot_of_p)
     tile_of_pair = (keys_sorted >> depth_bits).astype(jnp.int32)
     # Invalid sentinel keys decode to tile id > num_tiles; clamp to num_tiles so
     # scatter/segment consumers can use a single overflow row.
@@ -184,6 +197,14 @@ def build_pair_stream(
     padded_start = (jnp.cumsum(padded_len) - padded_len).astype(jnp.int32)
     padded_end = padded_start + lengths
 
+    # Emission-slot -> padded-position permutation (for gradient routing).
+    p_pos = jnp.arange(max_pairs, dtype=jnp.int32)
+    t_of_p = jnp.minimum(tile_of_pair, num_tiles - 1)
+    q_p = padded_start[t_of_p] + (p_pos - start[t_of_p])
+    q_p = jnp.clip(q_p, 0, padded_cap - 1)
+    q_of_slot = jnp.zeros((max_pairs,), jnp.int32).at[slot_of_p].set(q_p)
+    q_of_slot = jax.lax.stop_gradient(q_of_slot)
+
     q_pos = jnp.arange(padded_cap, dtype=jnp.int32)
     tile_of_q = (
         jnp.searchsorted(padded_start, q_pos, side="right").astype(jnp.int32) - 1
@@ -195,27 +216,40 @@ def build_pair_stream(
     gid_padded = jnp.where(valid_padded, gids_sorted[src_p], 0)
     tile_padded = jnp.where(valid_padded, tile_of_q, num_tiles)
 
-    # --- Gather records into aligned pair order (contiguous downstream reads). ---
-    g = gid_padded
-    mean2d = sp.mean2d[g]
-    conic = sp.conic[g]
-    color = args.colors[g]
-    opacity = jnp.where(sp.visible, args.opacities[:, 0], 0.0)[g]
-    depth = sp.depth[g]
-    # Null out padding pairs so they never composite (and get zero gradients).
-    opacity = jnp.where(valid_padded, opacity, 0.0)
-
     return PairStream(
         tile=tile_padded,
-        gid=g,
-        mean2d=mean2d,
-        conic=conic,
-        color=color,
-        opacity=opacity,
-        depth=depth,
+        gid=gid_padded,
+        g_colors=args.colors,
+        g_opacity=jnp.where(sp.visible, args.opacities[:, 0], 0.0),
         start=padded_start,
         end=padded_end,
+        emit_offsets=jax.lax.stop_gradient(offsets.astype(jnp.int32)),
+        emit_counts=jax.lax.stop_gradient(count.astype(jnp.int32)),
+        q_of_slot=q_of_slot,
         total_pairs=total_pairs,
         overflowed=span_overflow | (total_pairs > max_pairs),
         splats=sp,
+    )
+
+
+def gather_pair_records(
+    stream: PairStream, g_colors=None, g_mean2d=None
+):
+    """Per-pair (mean2d, conic, color, opacity, depth) in aligned order.
+
+    Optional overrides swap the color source / mean2d lineage (see
+    `render_dual`).  Padding pairs get opacity 0 so they never composite.
+    """
+    g = stream.gid
+    sp = stream.splats
+    num_tiles = stream.start.shape[0]
+    valid = stream.tile < num_tiles
+    mean2d_src = sp.mean2d if g_mean2d is None else g_mean2d
+    colors_src = stream.g_colors if g_colors is None else g_colors
+    return (
+        mean2d_src[g],
+        sp.conic[g],
+        colors_src[g],
+        jnp.where(valid, stream.g_opacity[g], 0.0),
+        sp.depth[g],
     )

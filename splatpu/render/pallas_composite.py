@@ -135,30 +135,21 @@ def _fwd_kernel(
 
     nchunks = (e - s + G - 1) // G
 
-    def chunk_dma(k, slot):
+    # NOTE(round 2): a double-buffered variant (next chunk's DMA in flight
+    # during compositing) deadlocked the chip through the axon tunnel; keep
+    # the synchronous copy until that can be debugged on directly-attached
+    # hardware.
+    def body(k, carry):
         # Segment starts are chunk-aligned by construction (binning.py);
         # the hint lets Mosaic prove the HBM slice is tile-divisible.
         s0 = pl.multiple_of(s + k * G, G)
-        return pltpu.make_async_copy(
-            records_ref.at[:, pl.ds(s0, G)], rec_buf.at[slot], sem.at[slot]
+        cp = pltpu.make_async_copy(
+            records_ref.at[:, pl.ds(s0, G)], rec_buf, sem
         )
-
-    # Double-buffered: chunk k+1's DMA is in flight while k is composited.
-    @pl.when(nchunks > 0)
-    def _():
-        chunk_dma(0, 0).start()
-
-    def body(k, carry):
-        slot = k % 2
-
-        @pl.when(k + 1 < nchunks)
-        def _():
-            chunk_dma(k + 1, (k + 1) % 2).start()
-
-        chunk_dma(k, slot).wait()
-        s0 = pl.multiple_of(s + k * G, G)
+        cp.start()
+        cp.wait()
         pos = s0 + lane
-        geo = _chunk_geometry(rec_buf[slot], px, py, pos, e)
+        geo = _chunk_geometry(rec_buf[:], px, py, pos, e)
         alpha = geo["alpha"]
 
         z = jnp.log1p(-alpha)
@@ -171,7 +162,7 @@ def _fwd_kernel(
         contribute = (failcnt == 0.0) & (failed[:] == 0.0)
         w = jnp.where(contribute, alpha * t_excl, 0.0)
 
-        colors = rec_buf[slot, R_COLOR0 : R_COLOR0 + C, :]
+        colors = rec_buf[R_COLOR0 : R_COLOR0 + C, :]
         img_ref[0] += jax.lax.dot_general(
             colors, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
@@ -341,8 +332,8 @@ def _composite_fwd_call(records, start, end, bg, *, num_tiles, tiles_x, G, C):
             pl.BlockSpec((1, NPIX, 1), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, NREC, G), jnp.float32),   # double-buffered records
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((NREC, G), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
             pltpu.VMEM((NPIX, 1), jnp.float32),
             pltpu.VMEM((NPIX, 1), jnp.float32),
         ],
@@ -460,17 +451,122 @@ _composite.defvjp(_composite_fwd, _composite_bwd)
 
 
 # ---------------------------------------------------------------------------
+# Per-Gaussian-boundary custom VJP (gather-free gradient routing)
+# ---------------------------------------------------------------------------
+#
+# The vjp boundary wraps (per-Gaussian splat arrays -> tile images): forward
+# gathers pair records by gid inside the boundary; backward routes per-PAIR
+# gradients back to per-Gaussian gradients by an inverse-permutation gather
+# (sorted position -> emission slot) followed by a masked per-Gaussian
+# reduction over each Gaussian's contiguous emission slots — XLA's default
+# transpose of the gathers would instead be millions of scatter-adds.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11,))
+def _composite_g(
+    mean2d_g, conic_g, color_g, opacity_g, depth_g, bg,
+    gid, start, end, emit, q_of_slot, static,
+):
+    out, _ = _composite_g_fwd(
+        mean2d_g, conic_g, color_g, opacity_g, depth_g, bg,
+        gid, start, end, emit, q_of_slot, static,
+    )
+    return out
+
+
+def _composite_g_fwd(
+    mean2d_g, conic_g, color_g, opacity_g, depth_g, bg,
+    gid, start, end, emit, q_of_slot, static,
+):
+    num_tiles, tiles_x, G, C, _max_span = static
+    records = _pack_records(
+        mean2d_g[gid], conic_g[gid], color_g[gid], opacity_g[gid], depth_g[gid]
+    )
+    bg2 = bg[:, None]
+    img, dep, tfin, last = _composite_fwd_call(
+        records, start, end, bg2, num_tiles=num_tiles, tiles_x=tiles_x, G=G, C=C
+    )
+    out = (img, dep[..., 0], tfin[..., 0])
+    residuals = (records, start, end, bg2, tfin, last, emit, q_of_slot)
+    return out, residuals
+
+
+def _composite_g_bwd(static, residuals, cotangents):
+    num_tiles, tiles_x, G, C, S = static
+    records, start, end, bg2, tfin, last, emit, q_of_slot = residuals
+    offsets, counts = emit
+    g_img, g_dep, g_tf = cotangents
+    g_img_pix = jnp.swapaxes(g_img, 1, 2)
+    grads = _composite_bwd_call(
+        records, start, end, bg2, tfin, last,
+        g_img_pix, g_dep[..., None], g_tf[..., None],
+        num_tiles=num_tiles, tiles_x=tiles_x, G=G, C=C,
+    )  # (NREC, Pp) in padded pair order
+
+    # Route to emission-slot order (pure gather), then reduce per Gaussian
+    # over its contiguous slot range [offsets[g], offsets[g]+counts[g]).
+    # Invalid slots map to clamped positions but are masked by counts;
+    # unwritten tail positions are never referenced by valid slots.
+    grads_slots = grads[:, q_of_slot]  # (NREC, max_pairs)
+    slot_idx = offsets[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]  # (N, S)
+    slot_idx = jnp.clip(slot_idx, 0, q_of_slot.shape[0] - 1)
+    mask = jnp.arange(S, dtype=jnp.int32)[None, :] < counts[:, None]
+
+    def reduce_field(row):  # (max_pairs,) -> (N,)
+        vals = row[slot_idx]  # (N, S)
+        return jnp.sum(jnp.where(mask, vals, 0.0), axis=1)
+
+    d_mx = reduce_field(grads_slots[R_MX])
+    d_my = reduce_field(grads_slots[R_MY])
+    d_ca = reduce_field(grads_slots[R_CA])
+    d_cb = reduce_field(grads_slots[R_CB])
+    d_cc = reduce_field(grads_slots[R_CC])
+    d_op = reduce_field(grads_slots[R_OP])
+    d_dep = reduce_field(grads_slots[R_DEPTH])
+    d_cols = [reduce_field(grads_slots[R_COLOR0 + c]) for c in range(C)]
+
+    d_mean2d = jnp.stack([d_mx, d_my], axis=-1)
+    d_conic = jnp.stack([d_ca, d_cb, d_cc], axis=-1)
+    d_color = jnp.stack(d_cols, axis=-1)
+    d_bg = jnp.einsum("tcp,tp->c", g_img, tfin[..., 0])
+    return (
+        d_mean2d, d_conic, d_color, d_op, d_dep, d_bg,
+        None, None, None, None, None,
+    )
+
+
+_composite_g.defvjp(_composite_g_fwd, _composite_g_bwd)
+
+
+# ---------------------------------------------------------------------------
 # Public renderer
 # ---------------------------------------------------------------------------
 
 
 def render_pallas(args, camera, bg=None, config: BinningConfig = BinningConfig()):
     """Full tiled render with Pallas compositing kernels."""
-    from splatpu.core.types import Camera, RenderArgs  # avoid cycle at import
-
     c = args.colors.shape[1]
     if bg is None:
         bg = jnp.zeros((c,), jnp.float32)
+    stream = build_pair_stream(args, camera, config)
+    return composite_stream(stream, camera, config, bg)
+
+
+def composite_stream(
+    stream: PairStream,
+    camera,
+    config: BinningConfig,
+    bg,
+    g_colors=None,
+    g_mean2d=None,
+):
+    """Composite a pre-built PairStream with the Pallas kernels.
+
+    Optional overrides swap the per-Gaussian color source / mean2d lineage
+    (used by render_dual)."""
+    colors = stream.g_colors if g_colors is None else g_colors
+    mean2d = stream.splats.mean2d if g_mean2d is None else g_mean2d
+    c = colors.shape[1]
     if c > NREC - R_COLOR0:
         raise ValueError(f"at most {NREC - R_COLOR0} color channels supported")
     if config.chunk_pairs % 128 != 0:
@@ -478,17 +574,19 @@ def render_pallas(args, camera, bg=None, config: BinningConfig = BinningConfig()
 
     tiles_x, tiles_y = tile_grid(camera)
     num_tiles = tiles_x * tiles_y
-    stream = build_pair_stream(args, camera, config)
-    static = (num_tiles, tiles_x, config.chunk_pairs, c)
-    img_tiles, depth_tiles, tfin_tiles = _composite(
-        stream.mean2d,
-        stream.conic,
-        stream.color,
-        stream.opacity,
-        stream.depth,
+    static = (num_tiles, tiles_x, config.chunk_pairs, c, config.max_span)
+    img_tiles, depth_tiles, tfin_tiles = _composite_g(
+        mean2d,
+        stream.splats.conic,
+        colors,
+        stream.g_opacity,
+        stream.splats.depth,
         bg,
+        stream.gid,
         stream.start,
         stream.end,
+        (stream.emit_offsets, stream.emit_counts),
+        stream.q_of_slot,
         static,
     )
 

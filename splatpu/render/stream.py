@@ -46,12 +46,23 @@ def _segmented_exclusive(values, is_start):
     return excl - base
 
 
-def composite_pairs(stream: PairStream, camera: Camera, config: BinningConfig, bg):
+def composite_pairs(
+    stream: PairStream,
+    camera: Camera,
+    config: BinningConfig,
+    bg,
+    records=None,
+):
+    from splatpu.render.binning import gather_pair_records
+
+    if records is None:
+        records = gather_pair_records(stream)
+    r_mean2d, r_conic, r_color, r_opacity, r_depth = records
     tiles_x, tiles_y = tile_grid(camera)
     num_tiles = tiles_x * tiles_y
     pc = config.chunk_pairs
     num_chunks = -(-stream.tile.shape[0] // pc)
-    c = stream.color.shape[1]
+    c = r_color.shape[1]
 
     # In-tile pixel coordinates, row-major (r * TILE + c).
     pix = jnp.arange(TILE * TILE, dtype=jnp.float32)
@@ -62,11 +73,11 @@ def composite_pairs(stream: PairStream, camera: Camera, config: BinningConfig, b
         log_t, failed, image, depth_acc = carry
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, k * pc, pc, axis=0)
         tile = sl(stream.tile)           # (pc,) int32; num_tiles => padding
-        mean2d = sl(stream.mean2d)
-        conic = sl(stream.conic)
-        color = sl(stream.color)
-        opacity = sl(stream.opacity)
-        depth = sl(stream.depth)
+        mean2d = sl(r_mean2d)
+        conic = sl(r_conic)
+        color = sl(r_color)
+        opacity = sl(r_opacity)
+        depth = sl(r_depth)
 
         tx = (tile % tiles_x).astype(jnp.float32)
         ty = (tile // tiles_x).astype(jnp.float32)

@@ -34,7 +34,7 @@ from splatpu.growth.densify import (
     reset_opacity,
 )
 from splatpu.neighbors.knn import knn
-from splatpu.render.api import default_config, render
+from splatpu.render.api import default_config, render, render_dual
 from splatpu.render.binning import BinningConfig
 from splatpu.train.losses import SEGMENTATION_WEIGHT, image_loss
 from splatpu.train.optim import (
@@ -91,16 +91,17 @@ def make_step_fns(camera_static: Camera, config: Stage1Config, scene_radius: flo
         cloud = GaussianCloud(alive=alive, **params)
         camera = camera_static.replace(w2c=w2c, K=K)
         args = activate_cloud(cloud).replace(means2d_offset=offset)
-        out = render(args, camera, impl=config.renderer, config=binning)
-        img_loss = image_loss(out.image, image)
-        # Segmentation render: same geometry, colors := segmentation masks,
-        # its OWN zero means2d offset so only the color render feeds the
-        # densification gradient collector (`densify.py:130-132`).
-        seg_args = args.replace(
-            colors=cloud.segmentation_masks,
-            means2d_offset=jnp.zeros_like(offset),
+        # One shared preprocess+binning, two composites (image + segmentation);
+        # only the image pass feeds the densification gradient collector
+        # (`densify.py:130-132`).
+        out, seg_out = render_dual(
+            args,
+            cloud.segmentation_masks,
+            camera,
+            impl=config.renderer,
+            config=binning,
         )
-        seg_out = render(seg_args, camera, impl=config.renderer, config=binning)
+        img_loss = image_loss(out.image, image)
         seg_loss = image_loss(seg_out.image, seg_target)
         total = img_loss + SEGMENTATION_WEIGHT * seg_loss
         aux = {

@@ -62,6 +62,9 @@ class Stage2Config:
     compute_dtype: str = "float32"
     view_batching: str = "map"  # "map" = sequential renders; "vmap" = batched
     seed: int = 0
+    # Mid-run fault tolerance (absent in the reference, SURVEY.md §5.3/§5.4).
+    checkpoint_every: int = 0   # in sequence iterations; 0 = disabled
+    checkpoint_path: Optional[str] = None
 
     def net_config(self) -> DeformationNetConfig:
         return DeformationNetConfig(
@@ -255,8 +258,10 @@ def train(
     config: Stage2Config,
     logger=None,
     progress: bool = False,
+    resume_from=None,
 ):
     """Full stage-2 training loop (`train.py:728-776`)."""
+    from splatpu.io.checkpoint import load_checkpoint, save_checkpoint
     (
         cloud,
         fg_idx,
@@ -286,11 +291,19 @@ def train(
 
     rng = np.random.default_rng(config.seed)
     t_count = config.timestep_count
-    outer = range(config.total_iterations)
+    start_it = 0
+    if resume_from is not None:
+        template = {"net_params": net_params, "opt_state": opt_state, "seq_it": jnp.int32(0)}
+        restored = load_checkpoint(resume_from, template)
+        net_params = restored["net_params"]
+        opt_state = restored["opt_state"]
+        start_it = int(restored["seq_it"]) + 1
+        rng = np.random.default_rng(config.seed + start_it)
+    outer = range(start_it, config.total_iterations)
     if progress:
         import tqdm
 
-        outer = tqdm.tqdm(outer, desc="stage2")
+        outer = tqdm.tqdm(outer, desc="stage2", initial=start_it)
     metrics = {}
     for seq_it in outer:
         enc_prev, prev_fg = snapshot_previous(
@@ -323,6 +336,19 @@ def train(
             )
             if logger is not None:
                 logger.log(metrics, step=step_idx)
+        if (
+            config.checkpoint_every
+            and config.checkpoint_path
+            and (seq_it + 1) % config.checkpoint_every == 0
+        ):
+            save_checkpoint(
+                config.checkpoint_path,
+                {
+                    "net_params": net_params,
+                    "opt_state": opt_state,
+                    "seq_it": jnp.int32(seq_it),
+                },
+            )
     if logger is not None:
         logger.flush()
     return net_params, cloud, encoded_initial, metrics
