@@ -12,7 +12,9 @@ pytree and is a pure differentiable function:
 Implementations:
 - "oracle": O(N*pixels) naive renderer; small scenes / tests only.
 - "stream": tiled XLA binning + pair-stream compositing; runs on CPU and TPU.
-- "pallas": tiled binning + Pallas TPU compositing kernels (fastest on TPU).
+- "pallas": exact-budget binning + window-masked Pallas compositing kernels
+            (fastest on TPU; see render/exact.py).
+- "pallas_padded": first-generation chunk-aligned Pallas path (kept for A/B).
 - "auto":   pallas on TPU, stream elsewhere.
 """
 
@@ -53,6 +55,10 @@ def render(
     if impl == "stream":
         return render_stream(args, camera, bg, config)
     if impl == "pallas":
+        from splatpu.render.exact import render_pallas_exact
+
+        return render_pallas_exact(args, camera, bg, config)
+    if impl == "pallas_padded":
         from splatpu.render.pallas_composite import render_pallas
 
         return render_pallas(args, camera, bg, config)
@@ -91,12 +97,26 @@ def render_dual(
         )
         return out_a, render_oracle(seg_args, camera, bg)
 
-    from splatpu.render.binning import build_pair_stream, gather_pair_records
-    import jax.numpy as jnp
-
     c = args.colors.shape[1]
     if bg is None:
         bg = jnp.zeros((c,), jnp.float32)
+
+    if impl == "pallas":
+        from splatpu.render.exact import build_exact_stream, composite_exact
+
+        estream = build_exact_stream(args, camera, config)
+        off = args.means2d_offset
+        wh = jnp.array([camera.width, camera.height], jnp.float32) * 0.5
+        mean2d_b = estream.splats.mean2d + (jax.lax.stop_gradient(off) - off) * wh
+        return (
+            composite_exact(estream, camera, config, bg),
+            composite_exact(
+                estream, camera, config, bg, g_colors=colors_b, g_mean2d=mean2d_b
+            ),
+        )
+
+    from splatpu.render.binning import build_pair_stream, gather_pair_records
+
     stream = build_pair_stream(args, camera, config)
     # Secondary mean2d: numerically identical but its AD lineage drops the
     # offset (offset enters pixels linearly: mean2d = base + off * wh/2).

@@ -1,0 +1,612 @@
+"""Exact-budget tile binning + window-masked Pallas compositing.
+
+Second-generation TPU render path (replaces the padded/aligned PairStream of
+`binning.py` + `pallas_composite.py` for the hot path).  Same observable
+contract as the CUDA rasterizer (SURVEY.md §2.1): per-tile front-to-back
+compositing of depth-sorted Gaussian splats with image/depth/transmittance
+outputs and analytic gradients to every per-Gaussian input.
+
+Why a second generation: the first path chunk-ALIGNED every tile's pair
+segment so kernels could DMA whole chunks, which cost a ~3x padded pair
+capacity and hundreds of ms of XLA index arithmetic (searchsorted / gathers
+over the padded domain) plus 16 separate record gathers.  This path instead:
+
+1. bins into an EXACT ``max_pairs`` buffer (scatter + one 2-array sort of
+   fused u32 keys [tile | quantized depth] carrying u32 [gid | emission lane]);
+2. tile segments are plain [start, end) ranges from two searchsorteds — no
+   alignment, no padding, no slot permutations;
+3. per-pair records come from ONE multi-row column gather
+   ``table[:, gid]`` — a (NREC, N) f32 table gathered to (NREC, P) in a
+   single fused XLA gather (~14x faster than per-row gathers on TPU);
+4. the composite kernels walk the GLOBAL chunk grid: tile t processes aligned
+   windows [k*G, (k+1)*G) covering [start_t, end_t) and masks foreign pairs,
+   so DMA offsets stay provably G-aligned without any data padding;
+5. the backward kernel writes per-pair gradient chunks; a tile's first chunk
+   may be shared with its predecessor's tail, so it is read-modify-written
+   (grid programs execute sequentially on a TPU core, making RMW race-free);
+6. pair gradients are routed back to per-Gaussian gradients by a column
+   gather into emission-slot order + a masked per-Gaussian reduction over
+   each Gaussian's contiguous emission slots (never a scatter-add).
+
+Reference parity: `GaussianRasterizer.__call__` (reference `densify.py:119-126`,
+`train.py:354-361`); binning semantics reconstruct the cub radix-sort pipeline
+of diff-gaussian-rasterization-w-depth (SURVEY.md §2.1 step 2).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from splatpu.core.projection import TRANSMITTANCE_EPS, Splats2D, preprocess, tile_rect
+from splatpu.core.types import Camera, RenderArgs
+from splatpu.render.binning import TILE, BinningConfig, _depth_bits_for, tile_grid
+from splatpu.render.types import RenderOutput
+
+NPIX = TILE * TILE
+NREC = 16
+R_MX, R_MY, R_CA, R_CB, R_CC, R_OP, R_DEPTH, R_COLOR0 = 0, 1, 2, 3, 4, 5, 6, 7
+ALPHA_MIN = 1.0 / 255.0
+ALPHA_MAX = 0.99
+
+
+@struct.dataclass
+class ExactStream:
+    """Depth-sorted, tile-ranged pair stream over an exact pair budget."""
+
+    gid: jax.Array          # (P,) int32 gaussian id per sorted pair (0 for pad)
+    start: jax.Array        # (num_tiles,) int32 segment starts
+    end: jax.Array          # (num_tiles,) int32 segment ends
+    pos_of_slot: jax.Array  # (P,) int32 sorted position per emission slot; P => dropped
+    offsets: jax.Array      # (N,) int32 first emission slot per gaussian
+    counts: jax.Array       # (N,) int32 emitted pairs per gaussian
+    g_colors: jax.Array     # (N, C) activated colors
+    g_opacity: jax.Array    # (N,) visibility-masked opacity
+    total_pairs: jax.Array  # () int32 pairs before budget clipping
+    overflowed: jax.Array   # () bool
+    splats: Splats2D
+
+
+def build_exact_stream(
+    args: RenderArgs, camera: Camera, config: BinningConfig
+) -> ExactStream:
+    tiles_x, tiles_y = tile_grid(camera)
+    num_tiles = tiles_x * tiles_y
+    depth_bits = _depth_bits_for(num_tiles)
+    max_span = config.max_span
+    mp = config.max_pairs
+    lane_bits = max(1, (max_span - 1).bit_length())
+    if args.n << lane_bits >= 1 << 31:
+        raise ValueError("gaussian count * max_span too large for u32 pair values")
+
+    sp = preprocess(args, camera)
+    n = args.n
+
+    tx0, ty0, tx1, ty1 = tile_rect(sp.mean2d, sp.radius, tiles_x, tiles_y, TILE)
+    span_w = jnp.where(sp.visible, tx1 - tx0, 0)
+    span_h = jnp.where(sp.visible, ty1 - ty0, 0)
+    count = span_w * span_h
+    span_overflow = jnp.any(count > max_span)
+    count = jnp.minimum(count, max_span)
+    total_pairs = jnp.sum(count)
+    offsets = jnp.cumsum(count) - count
+
+    s = jnp.arange(max_span, dtype=jnp.int32)[None, :]
+    valid = s < count[:, None]
+    safe_w = jnp.maximum(span_w, 1)[:, None]
+    sy = s // safe_w
+    sx = s - sy * safe_w
+    tile_id = (ty0[:, None] + sy) * tiles_x + (tx0[:, None] + sx)
+
+    d = sp.depth
+    big = jnp.float32(1e10)
+    dmin = jnp.min(jnp.where(sp.visible, d, big))
+    dmax = jnp.max(jnp.where(sp.visible, d, -big))
+    limit = (1 << depth_bits) - 1
+    dscale = jnp.float32(limit) / jnp.maximum(dmax - dmin, 1e-9)
+    dq = jnp.minimum(
+        jnp.clip((d - dmin) * dscale, 0.0, None).astype(jnp.uint32),
+        jnp.uint32(limit),
+    )
+
+    key = (tile_id.astype(jnp.uint32) << depth_bits) | dq[:, None]
+    gids = jnp.arange(n, dtype=jnp.int32)
+    val = ((gids[:, None] << lane_bits) | s).astype(jnp.uint32)
+    slot = jnp.where(valid, offsets[:, None] + s, mp)
+
+    keys_buf = jnp.full((mp,), jnp.uint32(0xFFFFFFFF))
+    vals_buf = jnp.zeros((mp,), jnp.uint32)
+    keys_buf = keys_buf.at[slot.reshape(-1)].set(key.reshape(-1), mode="drop")
+    vals_buf = vals_buf.at[slot.reshape(-1)].set(val.reshape(-1), mode="drop")
+
+    keys_sorted, vals_sorted = jax.lax.sort(
+        (keys_buf, vals_buf), dimension=0, num_keys=1
+    )
+    keys_sorted = jax.lax.stop_gradient(keys_sorted)
+    vals_sorted = jax.lax.stop_gradient(vals_sorted)
+
+    tile_of_pair = jnp.minimum(
+        (keys_sorted >> depth_bits).astype(jnp.int32), num_tiles
+    )
+    tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
+    start = jnp.searchsorted(tile_of_pair, tile_ids, side="left").astype(jnp.int32)
+    end = jnp.searchsorted(tile_of_pair, tile_ids, side="right").astype(jnp.int32)
+
+    gid_sorted = (vals_sorted >> lane_bits).astype(jnp.int32)
+    lane_sorted = (vals_sorted & ((1 << lane_bits) - 1)).astype(jnp.int32)
+
+    # Inverse permutation: emission slot -> sorted position (P for dropped slots).
+    p_iota = jnp.arange(mp, dtype=jnp.int32)
+    valid_p = p_iota < jnp.minimum(total_pairs, mp)
+    slot_of_p = offsets[gid_sorted] + lane_sorted
+    slot_tgt = jnp.where(valid_p, slot_of_p, mp)
+    pos_of_slot = jnp.full((mp,), mp, jnp.int32).at[slot_tgt].set(
+        p_iota, mode="drop"
+    )
+
+    return ExactStream(
+        gid=gid_sorted,
+        start=start,
+        end=end,
+        pos_of_slot=jax.lax.stop_gradient(pos_of_slot),
+        offsets=jax.lax.stop_gradient(offsets.astype(jnp.int32)),
+        counts=jax.lax.stop_gradient(count.astype(jnp.int32)),
+        g_colors=args.colors,
+        g_opacity=jnp.where(sp.visible, args.opacities[:, 0], 0.0),
+        total_pairs=total_pairs,
+        overflowed=span_overflow | (total_pairs > mp),
+        splats=sp,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kernels (global chunk grid, window-masked)
+# ---------------------------------------------------------------------------
+
+
+def _pixel_coords(t, tiles_x):
+    pixi = jax.lax.broadcasted_iota(jnp.int32, (NPIX, 1), 0)
+    tx = t % tiles_x
+    ty = t // tiles_x
+    px = (tx * TILE + pixi % TILE).astype(jnp.float32)
+    py = (ty * TILE + pixi // TILE).astype(jnp.float32)
+    return px, py
+
+
+def _lane_cumsum(x, inclusive=True, reverse=False):
+    g = x.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    s = x
+    d = 1
+    while d < g:
+        if reverse:
+            shifted = pltpu.roll(s, shift=g - d, axis=x.ndim - 1)
+            s = s + jnp.where(lane < g - d, shifted, 0.0)
+        else:
+            shifted = pltpu.roll(s, shift=d, axis=x.ndim - 1)
+            s = s + jnp.where(lane >= d, shifted, 0.0)
+        d *= 2
+    if not inclusive:
+        s = s - x
+    return s
+
+
+def _chunk_geometry(rec, px, py, pos, lo, hi):
+    """Per-chunk alpha with window mask [lo, hi) on absolute pair positions."""
+    mx, my = rec[R_MX : R_MX + 1, :], rec[R_MY : R_MY + 1, :]
+    ca, cb, cc = (
+        rec[R_CA : R_CA + 1, :],
+        rec[R_CB : R_CB + 1, :],
+        rec[R_CC : R_CC + 1, :],
+    )
+    op = rec[R_OP : R_OP + 1, :]
+    dx = px - mx
+    dy = py - my
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    raw_alpha = op * jnp.exp(power)
+    alpha = jnp.minimum(ALPHA_MAX, raw_alpha)
+    keep = (power <= 0.0) & (alpha >= ALPHA_MIN) & (pos >= lo) & (pos < hi)
+    alpha = jnp.where(keep, alpha, 0.0)
+    return dict(
+        dx=dx, dy=dy, power=power, raw_alpha=raw_alpha, alpha=alpha,
+        ca=ca, cb=cb, cc=cc, depth=rec[R_DEPTH : R_DEPTH + 1, :],
+    )
+
+
+def _fwd_kernel(
+    start_ref, end_ref,
+    records_ref, bg_ref,
+    img_ref, depth_ref, tfin_ref, last_ref,
+    rec_buf, sem, tcar, failed,
+    *, tiles_x: int, G: int, C: int,
+):
+    t = pl.program_id(0)
+    s = start_ref[t]
+    e = end_ref[t]
+    px, py = _pixel_coords(t, tiles_x)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, G), 1)
+
+    img_ref[0] = jnp.zeros((C, NPIX), jnp.float32)
+    depth_ref[0] = jnp.zeros((NPIX, 1), jnp.float32)
+    last_ref[0] = jnp.full((NPIX, 1), -1, jnp.int32)
+    tcar[:] = jnp.ones((NPIX, 1), jnp.float32)
+    failed[:] = jnp.zeros((NPIX, 1), jnp.float32)
+
+    k0 = s // G
+    nchunks = jnp.where(e > s, (e + G - 1) // G - k0, 0)
+
+    def body(k, carry):
+        s0 = pl.multiple_of((k0 + k) * G, G)
+        cp = pltpu.make_async_copy(records_ref.at[:, pl.ds(s0, G)], rec_buf, sem)
+        cp.start()
+        cp.wait()
+        pos = s0 + lane
+        geo = _chunk_geometry(rec_buf[:], px, py, pos, s, e)
+        alpha = geo["alpha"]
+
+        z = jnp.log1p(-alpha)
+        excl = _lane_cumsum(z, inclusive=False)
+        t_excl = tcar[:] * jnp.exp(excl)
+        fail = ((t_excl * (1.0 - alpha) < TRANSMITTANCE_EPS) & (alpha > 0.0)).astype(
+            jnp.float32
+        )
+        failcnt = _lane_cumsum(fail, inclusive=True)
+        contribute = (failcnt == 0.0) & (failed[:] == 0.0)
+        w = jnp.where(contribute, alpha * t_excl, 0.0)
+
+        colors = rec_buf[R_COLOR0 : R_COLOR0 + C, :]
+        img_ref[0] += jax.lax.dot_general(
+            colors, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        depth_ref[0] += jax.lax.dot_general(
+            w, geo["depth"], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        zc = jnp.where(contribute, z, 0.0)
+        tcar[:] = tcar[:] * jnp.exp(jnp.sum(zc, axis=1, keepdims=True))
+        failed[:] = jnp.maximum(failed[:], jnp.max(fail, axis=1, keepdims=True))
+        lastp = jnp.max(
+            jnp.where(contribute & (alpha > 0.0), pos, -1), axis=1, keepdims=True
+        )
+        last_ref[0] = jnp.maximum(last_ref[0], lastp)
+        return carry
+
+    jax.lax.fori_loop(0, nchunks, body, 0)
+
+    img_ref[0] += jax.lax.dot_general(
+        bg_ref[:], tcar[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    tfin_ref[0] = tcar[:]
+
+
+def _bwd_kernel(
+    start_ref, end_ref,
+    records_ref,
+    tfin_ref, last_ref, gimg_ref, gdep_ref, gtf_ref, bg_ref,
+    grads_ref,
+    rec_buf, gbuf, prev_buf, sem_in, sem_out, sem_rmw, tback, gsum,
+    *, tiles_x: int, G: int, C: int,
+):
+    t = pl.program_id(0)
+    s = start_ref[t]
+    e = end_ref[t]
+    px, py = _pixel_coords(t, tiles_x)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, G), 1)
+
+    tfin = tfin_ref[0]
+    last = last_ref[0]
+    gimg = gimg_ref[0]
+    gdep = gdep_ref[0]
+    gtf = gtf_ref[0]
+
+    tback[:] = tfin
+    gsum[:] = tfin * (
+        jax.lax.dot_general(
+            gimg, bg_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        + gtf
+    )
+
+    k0 = s // G
+    nchunks = jnp.where(e > s, (e + G - 1) // G - k0, 0)
+    # The first chunk may be shared with the previous tile's tail: RMW it.
+    # Grid programs run sequentially on the core, so the predecessor's write
+    # has completed; everything this tile writes for foreign pairs is zero.
+    first_shared = (s % G) != 0
+
+    def body(i, carry):
+        k = nchunks - 1 - i
+        s0 = pl.multiple_of((k0 + k) * G, G)
+        cp = pltpu.make_async_copy(records_ref.at[:, pl.ds(s0, G)], rec_buf, sem_in)
+        cp.start()
+        cp.wait()
+        pos = s0 + lane
+        geo = _chunk_geometry(rec_buf[:], px, py, pos, s, e)
+        alpha = geo["alpha"]
+
+        in_prefix = pos <= last
+        az = jnp.where(in_prefix, jnp.log1p(-alpha), 0.0)
+        rev_incl = _lane_cumsum(az, inclusive=True, reverse=True)
+        t_excl = tback[:] * jnp.exp(-rev_incl)
+        w = jnp.where(in_prefix, alpha * t_excl, 0.0)
+
+        chat = gdep * geo["depth"]
+        for c in range(C):
+            chat += gimg[:, c : c + 1] * rec_buf[R_COLOR0 + c : R_COLOR0 + c + 1, :]
+        wchat = w * chat
+        suffix = gsum[:] + _lane_cumsum(wchat, inclusive=False, reverse=True)
+
+        live = in_prefix & (alpha > 0.0)
+        one_minus = jnp.where(live, 1.0 - alpha, 1.0)
+        dalpha = jnp.where(live, t_excl * chat - suffix / one_minus, 0.0)
+        unclamped = geo["raw_alpha"] < ALPHA_MAX
+        dpower = jnp.where(unclamped, alpha * dalpha, 0.0)
+        dop = jnp.where(unclamped & live, jnp.exp(geo["power"]) * dalpha, 0.0)
+
+        dx, dy = geo["dx"], geo["dy"]
+        ca, cb, cc = geo["ca"], geo["cb"], geo["cc"]
+        red = lambda x: jnp.sum(x, axis=0, keepdims=True)
+        gbuf[R_MX : R_MX + 1, :] = red((ca * dx + cb * dy) * dpower)
+        gbuf[R_MY : R_MY + 1, :] = red((cc * dy + cb * dx) * dpower)
+        gbuf[R_CA : R_CA + 1, :] = red(-0.5 * dx * dx * dpower)
+        gbuf[R_CB : R_CB + 1, :] = red(-dx * dy * dpower)
+        gbuf[R_CC : R_CC + 1, :] = red(-0.5 * dy * dy * dpower)
+        gbuf[R_OP : R_OP + 1, :] = red(dop)
+        gbuf[R_DEPTH : R_DEPTH + 1, :] = red(w * gdep)
+        for c in range(C):
+            gbuf[R_COLOR0 + c : R_COLOR0 + c + 1, :] = red(w * gimg[:, c : c + 1])
+        for r in range(R_COLOR0 + C, NREC):
+            gbuf[r : r + 1, :] = jnp.zeros((1, G), jnp.float32)
+
+        @pl.when((k == 0) & first_shared)
+        def _():
+            rmw = pltpu.make_async_copy(
+                grads_ref.at[:, pl.ds(s0, G)], prev_buf, sem_rmw
+            )
+            rmw.start()
+            rmw.wait()
+            gbuf[:] += prev_buf[:]
+
+        out_cp = pltpu.make_async_copy(gbuf, grads_ref.at[:, pl.ds(s0, G)], sem_out)
+        out_cp.start()
+        out_cp.wait()
+
+        tback[:] = tback[:] * jnp.exp(-jnp.sum(az, axis=1, keepdims=True))
+        gsum[:] = gsum[:] + jnp.sum(wchat, axis=1, keepdims=True)
+        return carry
+
+    jax.lax.fori_loop(0, nchunks, body, 0)
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers
+# ---------------------------------------------------------------------------
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _fwd_call(records, start, end, bg, *, num_tiles, tiles_x, G, C):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, C, NPIX), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NPIX, 1), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NPIX, 1), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NPIX, 1), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((NREC, G), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((NPIX, 1), jnp.float32),
+            pltpu.VMEM((NPIX, 1), jnp.float32),
+        ],
+    )
+    out_shapes = [
+        jax.ShapeDtypeStruct((num_tiles, C, NPIX), jnp.float32),
+        jax.ShapeDtypeStruct((num_tiles, NPIX, 1), jnp.float32),
+        jax.ShapeDtypeStruct((num_tiles, NPIX, 1), jnp.float32),
+        jax.ShapeDtypeStruct((num_tiles, NPIX, 1), jnp.int32),
+    ]
+    kernel = functools.partial(_fwd_kernel, tiles_x=tiles_x, G=G, C=C)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(start, end, records, bg)
+
+
+def _bwd_call(
+    records, start, end, bg, tfin, last, g_img_pix, g_dep, g_tf,
+    *, num_tiles, tiles_x, G, C,
+):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, NPIX, 1), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NPIX, 1), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NPIX, C), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NPIX, 1), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NPIX, 1), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        scratch_shapes=[
+            pltpu.VMEM((NREC, G), jnp.float32),
+            pltpu.VMEM((NREC, G), jnp.float32),
+            pltpu.VMEM((NREC, G), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((NPIX, 1), jnp.float32),
+            pltpu.VMEM((NPIX, 1), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(_bwd_kernel, tiles_x=tiles_x, G=G, C=C)
+    (grads,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(records.shape, jnp.float32)],
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(start, end, records, tfin, last, g_img_pix, g_dep, g_tf, bg)
+    return grads
+
+
+# ---------------------------------------------------------------------------
+# custom VJP over the per-Gaussian record table
+# ---------------------------------------------------------------------------
+
+
+def _route_to_table(grads, offsets, counts, pos_of_slot, max_span):
+    """Per-pair grads (NREC, P) -> per-Gaussian grads (NREC, N).
+
+    One column gather into emission-slot order (slots are contiguous per
+    Gaussian) then a masked window sum — the gather-based transpose of the
+    emission, with no scatter-add.
+    """
+    mp = pos_of_slot.shape[0]
+    n = offsets.shape[0]
+    s_iota = jnp.arange(max_span, dtype=jnp.int32)[None, :]
+    slot_idx = jnp.clip(offsets[:, None] + s_iota, 0, mp - 1)  # (N, S)
+    pos = pos_of_slot[slot_idx]                                 # (N, S)
+    valid = (s_iota < counts[:, None]) & (pos < mp)
+    pos = jnp.clip(pos, 0, mp - 1)
+    cols = grads[:, pos.reshape(-1)].reshape(grads.shape[0], n, max_span)
+    return jnp.sum(jnp.where(valid[None], cols, 0.0), axis=2)  # (NREC, N)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+def _composite_table(
+    table, bg, gid, start, end, offsets, counts, pos_of_slot, static
+):
+    out, _ = _composite_table_fwd(
+        table, bg, gid, start, end, offsets, counts, pos_of_slot, static
+    )
+    return out
+
+
+def _composite_table_fwd(
+    table, bg, gid, start, end, offsets, counts, pos_of_slot, static
+):
+    num_tiles, tiles_x, G, C, _max_span = static
+    records = table[:, gid]  # (NREC, P) single fused column gather
+    bg2 = bg[:, None]
+    img, dep, tfin, last = _fwd_call(
+        records, start, end, bg2, num_tiles=num_tiles, tiles_x=tiles_x, G=G, C=C
+    )
+    out = (img, dep[..., 0], tfin[..., 0])
+    residuals = (records, start, end, bg2, tfin, last, offsets, counts, pos_of_slot)
+    return out, residuals
+
+
+def _composite_table_bwd(static, residuals, cotangents):
+    num_tiles, tiles_x, G, C, max_span = static
+    records, start, end, bg2, tfin, last, offsets, counts, pos_of_slot = residuals
+    g_img, g_dep, g_tf = cotangents
+    g_img_pix = jnp.swapaxes(g_img, 1, 2)
+    grads = _bwd_call(
+        records, start, end, bg2, tfin, last,
+        g_img_pix, g_dep[..., None], g_tf[..., None],
+        num_tiles=num_tiles, tiles_x=tiles_x, G=G, C=C,
+    )
+    d_table = _route_to_table(grads, offsets, counts, pos_of_slot, max_span)
+    d_bg = jnp.einsum("tcp,tp->c", g_img, tfin[..., 0])
+    return (d_table, d_bg, None, None, None, None, None, None)
+
+
+_composite_table.defvjp(_composite_table_fwd, _composite_table_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Public renderer
+# ---------------------------------------------------------------------------
+
+
+def _pack_table(mean2d, conic, color, opacity, depth):
+    c = color.shape[1]
+    if c > NREC - R_COLOR0:
+        raise ValueError(f"at most {NREC - R_COLOR0} color channels supported")
+    rows = [
+        mean2d[:, 0], mean2d[:, 1],
+        conic[:, 0], conic[:, 1], conic[:, 2],
+        opacity, depth,
+    ] + [color[:, i] for i in range(c)]
+    rows += [jnp.zeros_like(opacity)] * (NREC - len(rows))
+    return jnp.stack(rows, axis=0)  # (NREC, N)
+
+
+def composite_exact(
+    stream: ExactStream,
+    camera: Camera,
+    config: BinningConfig,
+    bg,
+    g_colors=None,
+    g_mean2d=None,
+) -> RenderOutput:
+    colors = stream.g_colors if g_colors is None else g_colors
+    mean2d = stream.splats.mean2d if g_mean2d is None else g_mean2d
+    c = colors.shape[1]
+    if config.chunk_pairs % 128 != 0:
+        raise ValueError("chunk_pairs must be a multiple of 128 for the TPU kernel")
+
+    tiles_x, tiles_y = tile_grid(camera)
+    num_tiles = tiles_x * tiles_y
+    static = (num_tiles, tiles_x, config.chunk_pairs, c, config.max_span)
+    table = _pack_table(
+        mean2d, stream.splats.conic, colors, stream.g_opacity, stream.splats.depth
+    )
+    img_tiles, depth_tiles, tfin_tiles = _composite_table(
+        table, bg, stream.gid, stream.start, stream.end,
+        stream.offsets, stream.counts, stream.pos_of_slot, static,
+    )
+
+    def untile(x_tiles):
+        if x_tiles.ndim == 3 and x_tiles.shape[1] != NPIX:  # (T, C, NPIX)
+            x = x_tiles.reshape(tiles_y, tiles_x, -1, TILE, TILE)
+            x = jnp.transpose(x, (2, 0, 3, 1, 4)).reshape(
+                -1, tiles_y * TILE, tiles_x * TILE
+            )
+            return x[:, : camera.height, : camera.width]
+        x = x_tiles.reshape(tiles_y, tiles_x, TILE, TILE)
+        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(tiles_y * TILE, tiles_x * TILE)
+        return x[: camera.height, : camera.width]
+
+    return RenderOutput(
+        image=untile(img_tiles),
+        depth=untile(depth_tiles),
+        radii=stream.splats.radius,
+        final_transmittance=untile(tfin_tiles),
+    )
+
+
+def render_pallas_exact(
+    args: RenderArgs, camera: Camera, bg=None, config: BinningConfig = BinningConfig()
+) -> RenderOutput:
+    """Full tiled render: exact binning + window-masked Pallas compositing."""
+    c = args.colors.shape[1]
+    if bg is None:
+        bg = jnp.zeros((c,), jnp.float32)
+    stream = build_exact_stream(args, camera, config)
+    return composite_exact(stream, camera, config, bg)

@@ -1,0 +1,126 @@
+"""Exact-binning Pallas path (render/exact.py) vs oracle and vs the padded
+first-generation path — forward, gradients, dual render, edge cases."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from splatpu.core.types import activate_cloud
+from splatpu.data.synthetic import make_lookat_camera, make_random_cloud
+from splatpu.render.api import render, render_dual
+from splatpu.render.binning import BinningConfig
+
+CFG = BinningConfig(max_span=64, max_pairs=1 << 12, chunk_pairs=256)
+
+
+def scene(seed=0, n=48, w=48, h=32):
+    cloud = make_random_cloud(jax.random.key(seed), n)
+    cam = make_lookat_camera(eye=(0.3, -0.2, -4.0), width=w, height=h)
+    return cloud, cam
+
+
+class TestExactVsOracle:
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_forward(self, seed):
+        cloud, cam = scene(seed)
+        args = activate_cloud(cloud)
+        bg = jnp.array([0.1, 0.2, 0.3])
+        ref = render(args, cam, bg=bg, impl="oracle")
+        got = render(args, cam, bg=bg, impl="pallas", config=CFG)
+        np.testing.assert_allclose(np.asarray(got.image), np.asarray(ref.image), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(got.depth), np.asarray(ref.depth), atol=2e-4)
+        np.testing.assert_allclose(
+            np.asarray(got.final_transmittance),
+            np.asarray(ref.final_transmittance),
+            atol=2e-5,
+        )
+
+    def test_forward_wide_scene(self):
+        # More tiles than one chunk; segments straddle chunk boundaries.
+        cloud, cam = scene(5, n=96, w=96, h=64)
+        args = activate_cloud(cloud)
+        ref = render(args, cam, impl="oracle")
+        got = render(args, cam, impl="pallas", config=BinningConfig(
+            max_span=64, max_pairs=1 << 13, chunk_pairs=128))
+        np.testing.assert_allclose(np.asarray(got.image), np.asarray(ref.image), atol=2e-5)
+
+    def test_gradients(self):
+        cloud, cam = scene(2)
+        bg = jnp.array([0.1, 0.2, 0.3])
+
+        def loss(params, impl):
+            c = cloud.replace(**params)
+            out = render(activate_cloud(c), cam, bg=bg, impl=impl, config=CFG)
+            return (
+                jnp.mean(jnp.abs(out.image - 0.4))
+                + 0.1 * jnp.mean(out.depth)
+                + 0.05 * jnp.mean(out.final_transmittance)
+            )
+
+        p = cloud.param_dict()
+        g_ref = jax.grad(lambda q: loss(q, "oracle"))(p)
+        g_new = jax.grad(lambda q: loss(q, "pallas"))(p)
+        for k in p:
+            a, b = np.asarray(g_ref[k]), np.asarray(g_new[k])
+            scale = np.abs(a).max() + 1e-8
+            np.testing.assert_allclose(b / scale, a / scale, atol=1e-4, err_msg=k)
+
+    def test_means2d_collector(self):
+        cloud, cam = scene(3, n=24)
+
+        def screen_grads(impl):
+            def loss(offset):
+                args = activate_cloud(cloud).replace(means2d_offset=offset)
+                out = render(args, cam, impl=impl, config=CFG)
+                return jnp.mean(jnp.abs(out.image - 0.5))
+
+            return jax.grad(loss)(jnp.zeros((cloud.capacity, 2)))
+
+        a = np.asarray(screen_grads("oracle"))
+        b = np.asarray(screen_grads("pallas"))
+        scale = np.abs(a).max() + 1e-8
+        np.testing.assert_allclose(b / scale, a / scale, atol=1e-4)
+        assert np.abs(a).max() > 0
+
+    def test_dual_render_matches_padded(self):
+        cloud, cam = scene(4)
+        args = activate_cloud(cloud)
+        seg = jnp.abs(jnp.sin(jnp.arange(cloud.capacity * 3, dtype=jnp.float32)))
+        seg = seg.reshape(cloud.capacity, 3)
+        a1, a2 = render_dual(args, seg, cam, impl="pallas", config=CFG)
+        b1, b2 = render_dual(args, seg, cam, impl="stream", config=CFG)
+        np.testing.assert_allclose(np.asarray(a1.image), np.asarray(b1.image), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(a2.image), np.asarray(b2.image), atol=2e-5)
+
+    def test_dual_render_grad_contract(self):
+        # means2d_offset receives cotangents from the PRIMARY render only.
+        cloud, cam = scene(6, n=24)
+        seg = jnp.abs(jnp.cos(jnp.arange(cloud.capacity * 3, dtype=jnp.float32)))
+        seg = seg.reshape(cloud.capacity, 3)
+
+        def grads(impl):
+            def loss(offset, which):
+                args = activate_cloud(cloud).replace(means2d_offset=offset)
+                o1, o2 = render_dual(args, seg, cam, impl=impl, config=CFG)
+                img = o1.image if which == 0 else o2.image
+                return jnp.mean(jnp.abs(img - 0.5))
+
+            z = jnp.zeros((cloud.capacity, 2))
+            return (
+                np.asarray(jax.grad(loss)(z, 0)),
+                np.asarray(jax.grad(loss)(z, 1)),
+            )
+
+        g1, g2 = grads("pallas")
+        assert np.abs(g1).max() > 0
+        np.testing.assert_allclose(g2, 0.0, atol=1e-12)
+
+    def test_empty_scene(self):
+        cloud, cam = scene(0, n=8)
+        args = activate_cloud(cloud.replace(alive=jnp.zeros(8, bool)))
+        bg = jnp.array([0.4, 0.5, 0.6])
+        out = render(args, cam, bg=bg, impl="pallas", config=CFG)
+        img = np.asarray(out.image)
+        np.testing.assert_allclose(img[0], 0.4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out.final_transmittance), 1.0, atol=1e-6)
