@@ -51,9 +51,27 @@ def load_cloud(path: Path) -> GaussianCloud:
     return GaussianCloud(**{k: jnp.asarray(data[k]) for k in CLOUD_KEYS})
 
 
-def save_checkpoint(path: Path, state_pytree):
-    """Serialize an arbitrary pytree (msgpack via flax); atomic rename."""
+def save_checkpoint(path: Path, state_pytree, backend: str = "auto"):
+    """Serialize an arbitrary pytree; atomic.
+
+    backend:
+    - "msgpack": single-file flax serialization (host-local; simple, portable).
+    - "orbax":   orbax-checkpoint directory (async-capable, multi-host-aware
+                 sharded saves — the right backend for multi-chip runs where
+                 each process writes its own shards).
+    - "auto":    orbax when the path looks like a directory request (exists as
+                 a dir or has no suffix and orbax is importable), else msgpack.
+    """
     path = Path(path)
+    backend = _resolve_backend(path, backend)
+    if backend == "orbax":
+        import orbax.checkpoint as ocp
+
+        with ocp.StandardCheckpointer() as ckptr:
+            # Orbax requires a fresh absolute directory; it writes atomically
+            # via its own tmp-dir + rename protocol.
+            ckptr.save(path.resolve(), state_pytree, force=True)
+        return
     path.parent.mkdir(parents=True, exist_ok=True)
     payload = serialization.to_bytes(state_pytree)
     tmp = path.with_suffix(path.suffix + ".tmp")
@@ -61,10 +79,38 @@ def save_checkpoint(path: Path, state_pytree):
     tmp.replace(path)
 
 
-def load_checkpoint(path: Path, target_pytree):
+def load_checkpoint(path: Path, target_pytree, backend: str = "auto"):
     """Restore into the structure of `target_pytree` (shapes must match)."""
-    payload = Path(path).read_bytes()
+    path = Path(path)
+    backend = _resolve_backend(path, backend)
+    if backend == "orbax":
+        import orbax.checkpoint as ocp
+
+        with ocp.StandardCheckpointer() as ckptr:
+            abstract = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype)
+                if hasattr(x, "dtype")
+                else x,
+                target_pytree,
+            )
+            return ckptr.restore(path.resolve(), abstract)
+    payload = path.read_bytes()
     return serialization.from_bytes(target_pytree, payload)
+
+
+def _resolve_backend(path: Path, backend: str) -> str:
+    if backend != "auto":
+        return backend
+    if path.is_dir():
+        return "orbax"
+    if path.suffix:
+        return "msgpack"
+    try:
+        import orbax.checkpoint  # noqa: F401
+
+        return "orbax"
+    except Exception:
+        return "msgpack"
 
 
 def export_deformation_bundle(

@@ -52,6 +52,9 @@ class BinningConfig:
                              # scenes that need more)
     max_pairs: int = 2**20   # total pair budget (pre-alignment)
     chunk_pairs: int = 256   # pair-stream chunk size AND tile segment alignment
+    kernel: str = "grid"     # exact-path compositing kernels: "grid" (chunk-table
+                             # grid, Mosaic-pipelined DMA) or "manual" (per-tile
+                             # grid with explicit in-kernel DMA)
 
     def padded_capacity(self, num_tiles: int) -> int:
         """Worst-case aligned stream length: every non-empty tile wastes at

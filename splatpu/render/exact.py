@@ -412,6 +412,370 @@ def _bwd_kernel(
 
 
 # ---------------------------------------------------------------------------
+# Chunk-table grid kernels (one grid step per chunk; Mosaic pipelines DMA)
+# ---------------------------------------------------------------------------
+#
+# Instead of a per-tile grid with a manual-DMA fori_loop over the tile's
+# chunks, the grid walks a precomputed chunk table: step k serves chunk
+# blk[k] of tile t[k].  Records arrive through a blocked in_spec whose
+# index_map reads the scalar-prefetched table, so the Mosaic pipeline
+# prefetches chunk k+1 while chunk k computes (automatic double buffering —
+# the manual 2-slot pipeline this replaces deadlocked the chip, see
+# pallas_composite.py).  Per-tile accumulators (image, transmittance, ...)
+# live in output blocks / scratch that persist across consecutive steps of
+# the same tile (revisited block indices are not flushed between steps).
+
+
+def _chunk_tables(start, end, num_tiles: int, mp: int, G: int, reverse: bool):
+    """Per-chunk scalar tables for the grid kernels.
+
+    Returns (tile, blk, lo, hi, first, marker), each (max_chunks,) int32,
+    where max_chunks = mp//G + num_tiles statically bounds the chunk count
+    (each tile costs at most len/G + 1 chunks, at least 1).
+
+    Forward tables (reverse=False) list every tile's chunks low→high, tiles
+    ascending; empty tiles get one no-op chunk (lo == hi) so their outputs
+    still get initialized + background-composited; `marker` is the is-last-
+    chunk-of-tile flag (finalize).  Backward tables (reverse=True) list tiles
+    DESCENDING with chunks high→low so back-to-front compositing works AND
+    the boundary chunk shared by adjacent tiles is visited in consecutive
+    steps (tile t's final step and tile t-1's first step), which is what lets
+    the output block accumulate in VMEM; `marker` is the new-output-block
+    flag (init vs accumulate), and no-op chunks inherit the previous step's
+    block so they never flush a foreign block with stale contents.
+    """
+    max_chunks = mp // G + num_tiles
+    n_blocks = mp // G
+    lens = end - start
+    k0 = start // G
+    k1 = jax.lax.div(end + (G - 1), G)
+    nch = jnp.where(lens > 0, k1 - k0, 1).astype(jnp.int32)
+
+    order = jnp.arange(num_tiles, dtype=jnp.int32)
+    if reverse:
+        order = order[::-1]
+    nch_o = nch[order]
+    cstart = (jnp.cumsum(nch_o) - nch_o).astype(jnp.int32)
+    total = cstart[-1] + nch_o[-1]
+
+    k = jnp.arange(max_chunks, dtype=jnp.int32)
+    idx = jnp.clip(
+        jnp.searchsorted(cstart, k, side="right").astype(jnp.int32) - 1,
+        0,
+        num_tiles - 1,
+    )
+    t = order[idx]
+    within = k - cstart[idx]
+    ch = jnp.where(reverse, k0[t] + nch[t] - 1 - within, k0[t] + within)
+    blk = jnp.clip(ch, 0, n_blocks - 1)
+    real = k < total
+    nonempty = (lens[t] > 0) & real
+    lo = jnp.where(nonempty, start[t], 0)
+    hi = jnp.where(nonempty, end[t], 0)
+    first = ((within == 0) & real).astype(jnp.int32)
+
+    if reverse:
+        # No-op steps (empty tiles, padding) must rewrite the previous real
+        # step's block, not claim a new one.
+        src = jax.lax.cummax(jnp.where(nonempty, k, -1))
+        blk = jnp.where(nonempty, blk, blk[jnp.maximum(src, 0)])
+        prev_blk = jnp.concatenate([blk[:1] - 1, blk[:-1]])
+        marker = ((blk != prev_blk) | (k == 0)).astype(jnp.int32)
+        # Padding steps keep tile = the last real tile (tile 0 in reverse
+        # order) so per-tile input blocks are not flushed/reloaded wrongly.
+        t = jnp.where(real, t, order[num_tiles - 1])
+    else:
+        marker = ((within == nch[t] - 1) & real).astype(jnp.int32)
+        t = jnp.where(real, t, order[num_tiles - 1])
+
+    sg = jax.lax.stop_gradient
+    return sg(t), sg(blk), sg(lo), sg(hi), sg(first), sg(marker)
+
+
+def _fwd_kernel_grid(
+    tile_s, blk_s, lo_s, hi_s, first_s, last_s,
+    records_ref, bg_ref,
+    img_ref, depth_ref, tfin_ref, last_ref,
+    tcar, failed,
+    *, tiles_x: int, G: int, C: int,
+):
+    k = pl.program_id(0)
+    t = tile_s[k]
+    lo = lo_s[k]
+    hi = hi_s[k]
+    first = first_s[k] == 1
+    last = last_s[k] == 1
+
+    # Padding steps (lo == hi, not first/last of any tile) skip all compute;
+    # they only exist to keep the grid size static.
+    @pl.when((lo < hi) | first | last)
+    def _run():
+        @pl.when(first)
+        def _():
+            img_ref[0] = jnp.zeros((C, NPIX), jnp.float32)
+            depth_ref[0] = jnp.zeros((NPIX, 1), jnp.float32)
+            last_ref[0] = jnp.full((NPIX, 1), -1, jnp.int32)
+            tcar[:] = jnp.ones((NPIX, 1), jnp.float32)
+            failed[:] = jnp.zeros((NPIX, 1), jnp.float32)
+
+        # Early termination (the CUDA render kernel's per-tile "done" break,
+        # SURVEY.md §2.1 step 3): once every pixel has saturated, remaining
+        # chunks cannot contribute — skip their compute entirely.
+        all_done = jnp.min(failed[:]) == 1.0
+
+        @pl.when((lo < hi) & jnp.logical_not(all_done))
+        def _compute():
+            px, py = _pixel_coords(t, tiles_x)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, G), 1)
+            pos = blk_s[k] * G + lane
+            geo = _chunk_geometry(records_ref[:], px, py, pos, lo, hi)
+            alpha = geo["alpha"]
+
+            z = jnp.log1p(-alpha)
+            excl = _lane_cumsum(z, inclusive=False)
+            t_excl = tcar[:] * jnp.exp(excl)
+            fail = (
+                (t_excl * (1.0 - alpha) < TRANSMITTANCE_EPS) & (alpha > 0.0)
+            ).astype(jnp.float32)
+            failcnt = _lane_cumsum(fail, inclusive=True)
+            contribute = (failcnt == 0.0) & (failed[:] == 0.0)
+            w = jnp.where(contribute, alpha * t_excl, 0.0)
+
+            colors = records_ref[R_COLOR0 : R_COLOR0 + C, :]
+            img_ref[0] += jax.lax.dot_general(
+                colors, w, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            depth_ref[0] += jax.lax.dot_general(
+                w, geo["depth"], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            zc = jnp.where(contribute, z, 0.0)
+            tcar[:] = tcar[:] * jnp.exp(jnp.sum(zc, axis=1, keepdims=True))
+            failed[:] = jnp.maximum(
+                failed[:], jnp.max(fail, axis=1, keepdims=True)
+            )
+            lastp = jnp.max(
+                jnp.where(contribute & (alpha > 0.0), pos, -1),
+                axis=1,
+                keepdims=True,
+            )
+            last_ref[0] = jnp.maximum(last_ref[0], lastp)
+
+        @pl.when(last)
+        def _():
+            img_ref[0] += jax.lax.dot_general(
+                bg_ref[:], tcar[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            tfin_ref[0] = tcar[:]
+
+
+def _bwd_kernel_grid(
+    tile_s, blk_s, lo_s, hi_s, first_s, newblk_s,
+    records_ref, tfin_ref, last_ref, gimg_ref, gdep_ref, gtf_ref, bg_ref,
+    grads_ref,
+    tback, gsum,
+    *, tiles_x: int, G: int, C: int,
+):
+    k = pl.program_id(0)
+    t = tile_s[k]
+    lo = lo_s[k]
+    hi = hi_s[k]
+    first = first_s[k] == 1
+    newblk = newblk_s[k] == 1
+
+    @pl.when(first & (lo < hi))
+    def _():
+        tback[:] = tfin_ref[0]
+        gsum[:] = tfin_ref[0] * (
+            jax.lax.dot_general(
+                gimg_ref[0], bg_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            + gtf_ref[0]
+        )
+
+    # Beyond-last-contributor skip (mirror of the forward kernel's early
+    # termination): a chunk whose positions all exceed the tile's furthest
+    # per-pixel last contributor has zero gradient everywhere; in the
+    # reverse walk these are each tile's FIRST chunks.  Skipped chunks that
+    # own a fresh output block still zero-fill it (routing reads it).
+    relevant = (lo < hi) & (blk_s[k] * G <= jnp.max(last_ref[0]))
+
+    @pl.when(relevant)
+    def _run():
+        px, py = _pixel_coords(t, tiles_x)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, G), 1)
+
+        gimg = gimg_ref[0]
+        gdep = gdep_ref[0]
+
+        pos = blk_s[k] * G + lane
+        geo = _chunk_geometry(records_ref[:], px, py, pos, lo, hi)
+        alpha = geo["alpha"]
+
+        in_prefix = pos <= last_ref[0]
+        az = jnp.where(in_prefix, jnp.log1p(-alpha), 0.0)
+        rev_incl = _lane_cumsum(az, inclusive=True, reverse=True)
+        t_excl = tback[:] * jnp.exp(-rev_incl)
+        w = jnp.where(in_prefix, alpha * t_excl, 0.0)
+
+        chat = gdep * geo["depth"]
+        for c in range(C):
+            chat += (
+                gimg[:, c : c + 1] * records_ref[R_COLOR0 + c : R_COLOR0 + c + 1, :]
+            )
+        wchat = w * chat
+        suffix = gsum[:] + _lane_cumsum(wchat, inclusive=False, reverse=True)
+
+        live = in_prefix & (alpha > 0.0)
+        one_minus = jnp.where(live, 1.0 - alpha, 1.0)
+        dalpha = jnp.where(live, t_excl * chat - suffix / one_minus, 0.0)
+        unclamped = geo["raw_alpha"] < ALPHA_MAX
+        dpower = jnp.where(unclamped, alpha * dalpha, 0.0)
+        dop = jnp.where(unclamped & live, jnp.exp(geo["power"]) * dalpha, 0.0)
+
+        dx, dy = geo["dx"], geo["dy"]
+        ca, cb, cc = geo["ca"], geo["cb"], geo["cc"]
+        red = lambda x: jnp.sum(x, axis=0, keepdims=True)
+        rows = [None] * NREC
+        rows[R_MX] = red((ca * dx + cb * dy) * dpower)
+        rows[R_MY] = red((cc * dy + cb * dx) * dpower)
+        rows[R_CA] = red(-0.5 * dx * dx * dpower)
+        rows[R_CB] = red(-dx * dy * dpower)
+        rows[R_CC] = red(-0.5 * dy * dy * dpower)
+        rows[R_OP] = red(dop)
+        rows[R_DEPTH] = red(w * gdep)
+        for c in range(C):
+            rows[R_COLOR0 + c] = red(w * gimg[:, c : c + 1])
+        zero = jnp.zeros((1, G), jnp.float32)
+        contrib = jnp.concatenate(
+            [r if r is not None else zero for r in rows], axis=0
+        )
+
+        @pl.when(newblk)
+        def _():
+            grads_ref[:] = contrib
+
+        @pl.when(jnp.logical_not(newblk))
+        def _():
+            grads_ref[:] += contrib
+
+        tback[:] = tback[:] * jnp.exp(-jnp.sum(az, axis=1, keepdims=True))
+        gsum[:] = gsum[:] + jnp.sum(wchat, axis=1, keepdims=True)
+
+    @pl.when(jnp.logical_not(relevant) & newblk)
+    def _zero_fill():
+        grads_ref[:] = jnp.zeros((NREC, G), jnp.float32)
+
+
+def _fwd_call_grid(records, start, end, bg, *, num_tiles, tiles_x, G, C):
+    mp = records.shape[1]
+    max_chunks = mp // G + num_tiles
+    tables = _chunk_tables(start, end, num_tiles, mp, G, reverse=False)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(max_chunks,),
+        in_specs=[
+            pl.BlockSpec(
+                (NREC, G),
+                lambda k, tile_s, blk_s, *_: (0, blk_s[k]),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, C, NPIX), lambda k, tile_s, *_: (tile_s[k], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, NPIX, 1), lambda k, tile_s, *_: (tile_s[k], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, NPIX, 1), lambda k, tile_s, *_: (tile_s[k], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, NPIX, 1), lambda k, tile_s, *_: (tile_s[k], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((NPIX, 1), jnp.float32),
+            pltpu.VMEM((NPIX, 1), jnp.float32),
+        ],
+    )
+    out_shapes = [
+        jax.ShapeDtypeStruct((num_tiles, C, NPIX), jnp.float32),
+        jax.ShapeDtypeStruct((num_tiles, NPIX, 1), jnp.float32),
+        jax.ShapeDtypeStruct((num_tiles, NPIX, 1), jnp.float32),
+        jax.ShapeDtypeStruct((num_tiles, NPIX, 1), jnp.int32),
+    ]
+    kernel = functools.partial(_fwd_kernel_grid, tiles_x=tiles_x, G=G, C=C)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(*tables, records, bg)
+
+
+def _bwd_call_grid(
+    records, start, end, bg, tfin, last, g_img_pix, g_dep, g_tf,
+    *, num_tiles, tiles_x, G, C,
+):
+    mp = records.shape[1]
+    max_chunks = mp // G + num_tiles
+    tables = _chunk_tables(start, end, num_tiles, mp, G, reverse=True)
+    tile_block = lambda k, tile_s, *_: (tile_s[k], 0, 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(max_chunks,),
+        in_specs=[
+            pl.BlockSpec(
+                (NREC, G),
+                lambda k, tile_s, blk_s, *_: (0, blk_s[k]),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, NPIX, 1), tile_block, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NPIX, 1), tile_block, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NPIX, C), tile_block, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NPIX, 1), tile_block, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NPIX, 1), tile_block, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (NREC, G),
+                lambda k, tile_s, blk_s, *_: (0, blk_s[k]),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((NPIX, 1), jnp.float32),
+            pltpu.VMEM((NPIX, 1), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(_bwd_kernel_grid, tiles_x=tiles_x, G=G, C=C)
+    (grads,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(records.shape, jnp.float32)],
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(*tables, records, tfin, last, g_img_pix, g_dep, g_tf, bg)
+    return grads
+
+
+# ---------------------------------------------------------------------------
 # pallas_call wrappers
 # ---------------------------------------------------------------------------
 
@@ -539,10 +903,11 @@ def _composite_table(
 def _composite_table_fwd(
     table, bg, gid, start, end, offsets, counts, pos_of_slot, static
 ):
-    num_tiles, tiles_x, G, C, _max_span = static
+    num_tiles, tiles_x, G, C, _max_span, kernel = static
     records = table[:, gid]  # (NREC, P) single fused column gather
     bg2 = bg[:, None]
-    img, dep, tfin, last = _fwd_call(
+    fwd_call = _fwd_call_grid if kernel == "grid" else _fwd_call
+    img, dep, tfin, last = fwd_call(
         records, start, end, bg2, num_tiles=num_tiles, tiles_x=tiles_x, G=G, C=C
     )
     out = (img, dep[..., 0], tfin[..., 0])
@@ -551,11 +916,12 @@ def _composite_table_fwd(
 
 
 def _composite_table_bwd(static, residuals, cotangents):
-    num_tiles, tiles_x, G, C, max_span = static
+    num_tiles, tiles_x, G, C, max_span, kernel = static
     records, start, end, bg2, tfin, last, offsets, counts, pos_of_slot = residuals
     g_img, g_dep, g_tf = cotangents
     g_img_pix = jnp.swapaxes(g_img, 1, 2)
-    grads = _bwd_call(
+    bwd_call = _bwd_call_grid if kernel == "grid" else _bwd_call
+    grads = bwd_call(
         records, start, end, bg2, tfin, last,
         g_img_pix, g_dep[..., None], g_tf[..., None],
         num_tiles=num_tiles, tiles_x=tiles_x, G=G, C=C,
@@ -599,10 +965,14 @@ def composite_exact(
     c = colors.shape[1]
     if config.chunk_pairs % 128 != 0:
         raise ValueError("chunk_pairs must be a multiple of 128 for the TPU kernel")
+    if config.kernel == "grid" and config.max_pairs % config.chunk_pairs != 0:
+        raise ValueError("max_pairs must be a multiple of chunk_pairs (grid kernel)")
 
     tiles_x, tiles_y = tile_grid(camera)
     num_tiles = tiles_x * tiles_y
-    static = (num_tiles, tiles_x, config.chunk_pairs, c, config.max_span)
+    static = (
+        num_tiles, tiles_x, config.chunk_pairs, c, config.max_span, config.kernel
+    )
     table = _pack_table(
         mean2d, stream.splats.conic, colors, stream.g_opacity, stream.splats.depth
     )

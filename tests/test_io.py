@@ -43,6 +43,29 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(back["params"]["w"]), np.asarray(state["params"]["w"]))
 
 
+def test_checkpoint_roundtrip_orbax(tmp_path):
+    import pytest
+
+    pytest.importorskip("orbax.checkpoint")
+    state = {
+        "params": {"w": jnp.arange(6.0).reshape(2, 3)},
+        "step": jnp.int32(17),
+        "nested": [jnp.ones((4,)), {"x": jnp.zeros((2, 2))}],
+    }
+    save_checkpoint(tmp_path / "ckpt_dir", state, backend="orbax")
+    zero = jax.tree.map(jnp.zeros_like, state)
+    back = load_checkpoint(tmp_path / "ckpt_dir", zero, backend="orbax")
+    assert int(back["step"]) == 17
+    np.testing.assert_array_equal(
+        np.asarray(back["params"]["w"]), np.asarray(state["params"]["w"])
+    )
+    # "auto" resolves an existing orbax directory back to the orbax backend.
+    auto = load_checkpoint(tmp_path / "ckpt_dir", zero)
+    np.testing.assert_array_equal(
+        np.asarray(auto["nested"][0]), np.asarray(state["nested"][0])
+    )
+
+
 def test_deformation_bundle_roundtrip(tmp_path):
     from splatpu.dynamics.network import DeformationNetConfig, init_deformation_net
 

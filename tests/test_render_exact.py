@@ -12,6 +12,13 @@ from splatpu.render.api import render, render_dual
 from splatpu.render.binning import BinningConfig
 
 CFG = BinningConfig(max_span=64, max_pairs=1 << 12, chunk_pairs=256)
+KERNELS = ["grid", "manual"]
+
+
+def cfg_for(kernel):
+    return BinningConfig(
+        max_span=64, max_pairs=1 << 12, chunk_pairs=256, kernel=kernel
+    )
 
 
 def scene(seed=0, n=48, w=48, h=32):
@@ -22,12 +29,13 @@ def scene(seed=0, n=48, w=48, h=32):
 
 class TestExactVsOracle:
     @pytest.mark.parametrize("seed", [0, 1])
-    def test_forward(self, seed):
+    @pytest.mark.parametrize("kernel", KERNELS)
+    def test_forward(self, seed, kernel):
         cloud, cam = scene(seed)
         args = activate_cloud(cloud)
         bg = jnp.array([0.1, 0.2, 0.3])
         ref = render(args, cam, bg=bg, impl="oracle")
-        got = render(args, cam, bg=bg, impl="pallas", config=CFG)
+        got = render(args, cam, bg=bg, impl="pallas", config=cfg_for(kernel))
         np.testing.assert_allclose(np.asarray(got.image), np.asarray(ref.image), atol=2e-5)
         np.testing.assert_allclose(np.asarray(got.depth), np.asarray(ref.depth), atol=2e-4)
         np.testing.assert_allclose(
@@ -45,13 +53,15 @@ class TestExactVsOracle:
             max_span=64, max_pairs=1 << 13, chunk_pairs=128))
         np.testing.assert_allclose(np.asarray(got.image), np.asarray(ref.image), atol=2e-5)
 
-    def test_gradients(self):
+    @pytest.mark.parametrize("kernel", KERNELS)
+    def test_gradients(self, kernel):
         cloud, cam = scene(2)
         bg = jnp.array([0.1, 0.2, 0.3])
+        cfg = cfg_for(kernel)
 
         def loss(params, impl):
             c = cloud.replace(**params)
-            out = render(activate_cloud(c), cam, bg=bg, impl=impl, config=CFG)
+            out = render(activate_cloud(c), cam, bg=bg, impl=impl, config=cfg)
             return (
                 jnp.mean(jnp.abs(out.image - 0.4))
                 + 0.1 * jnp.mean(out.depth)
