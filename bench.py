@@ -52,7 +52,7 @@ def main():
     config = BinningConfig(
         max_span=32,
         max_pairs=1 << (20 if on_tpu else 15),
-        chunk_pairs=256,
+        chunk_pairs=128,
     )
     impl = "pallas" if on_tpu and _pallas_available() else "stream"
     target = jnp.zeros((3, h, w))

@@ -21,6 +21,8 @@ def main():
     p.add_argument("--size-h", type=int, default=720)
     p.add_argument("--views", type=int, default=5)
     p.add_argument("--renderer", default="auto")
+    p.add_argument("--view-batching", default="map")
+    p.add_argument("--skip-stage1", action="store_true")
     args = p.parse_args()
 
     from splatpu.obs.cache import enable_compilation_cache
@@ -47,28 +49,31 @@ def main():
     image = jnp.zeros((3, h, w))
     seg = jnp.zeros((3, h, w))
 
-    cfg1 = Stage1Config(renderer=args.renderer)
-    train_step, mutate_step, adam = make_step_fns(cam, cfg1, scene_radius=4.0)
-    opt_state = adam.init(cloud.param_dict())
-    stats = init_stats(cloud.capacity)
+    if args.skip_stage1:
+        cfg1 = None
+    if not args.skip_stage1:
+        cfg1 = Stage1Config(renderer=args.renderer)
+        train_step, mutate_step, adam = make_step_fns(cam, cfg1, scene_radius=4.0)
+        opt_state = adam.init(cloud.param_dict())
+        stats = init_stats(cloud.capacity)
 
-    print(
-        "stage1 step:",
-        time_fn(
-            train_step,
-            args_fn=lambda i: (
-                cloud.replace(means=cloud.means + jnp.float32(i) * 1e-7),
-                opt_state,
-                stats,
-                cam.w2c,
-                cam.K,
-                image,
-                seg,
-                True,
+        print(
+            "stage1 step:",
+            time_fn(
+                train_step,
+                args_fn=lambda i: (
+                    cloud.replace(means=cloud.means + jnp.float32(i) * 1e-7),
+                    opt_state,
+                    stats,
+                    cam.w2c,
+                    cam.K,
+                    image,
+                    seg,
+                    True,
+                ),
+                iters=5,
             ),
-            iters=5,
-        ),
-    )
+        )
 
     # Stage 2 at the same cloud scale.
     cfg2 = s2.Stage2Config(
@@ -79,6 +84,7 @@ def main():
         views_per_step=args.views,
         timestep_count=10,
         renderer=args.renderer,
+        view_batching=args.view_batching,
     )
     (
         dense_cloud, fg_idx, neighbor_info, enc_init,

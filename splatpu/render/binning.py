@@ -51,10 +51,14 @@ class BinningConfig:
                              # emission work scales with this — `overflowed` flags
                              # scenes that need more)
     max_pairs: int = 2**20   # total pair budget (pre-alignment)
-    chunk_pairs: int = 256   # pair-stream chunk size AND tile segment alignment
+    chunk_pairs: int = 128   # pair-stream chunk size AND tile segment alignment
+                             # (128 measured fastest for the exact grid path on v5e)
     kernel: str = "grid"     # exact-path compositing kernels: "grid" (chunk-table
                              # grid, Mosaic-pipelined DMA) or "manual" (per-tile
                              # grid with explicit in-kernel DMA)
+    scan: str = "mxu"        # in-kernel lane prefix sums: "mxu" (one triangular
+                             # matmul on the MXU, overlaps with VPU work) or
+                             # "rolls" (log2(G) Hillis-Steele roll+add passes)
 
     def padded_capacity(self, num_tiles: int) -> int:
         """Worst-case aligned stream length: every non-empty tile wastes at

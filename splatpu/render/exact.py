@@ -192,15 +192,16 @@ def build_exact_stream(
 
 
 def _pixel_coords(t, tiles_x):
+    """Tile-LOCAL pixel coordinates plus the tile origin (f32 scalars)."""
     pixi = jax.lax.broadcasted_iota(jnp.int32, (NPIX, 1), 0)
-    tx = t % tiles_x
-    ty = t // tiles_x
-    px = (tx * TILE + pixi % TILE).astype(jnp.float32)
-    py = (ty * TILE + pixi // TILE).astype(jnp.float32)
-    return px, py
+    px = (pixi % TILE).astype(jnp.float32)
+    py = (pixi // TILE).astype(jnp.float32)
+    ox = ((t % tiles_x) * TILE).astype(jnp.float32)
+    oy = ((t // tiles_x) * TILE).astype(jnp.float32)
+    return px, py, ox, oy
 
 
-def _lane_cumsum(x, inclusive=True, reverse=False):
+def _lane_cumsum_rolls(x, inclusive=True, reverse=False):
     g = x.shape[-1]
     lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
     s = x
@@ -218,9 +219,42 @@ def _lane_cumsum(x, inclusive=True, reverse=False):
     return s
 
 
-def _chunk_geometry(rec, px, py, pos, lo, hi):
-    """Per-chunk alpha with window mask [lo, hi) on absolute pair positions."""
-    mx, my = rec[R_MX : R_MX + 1, :], rec[R_MY : R_MY + 1, :]
+def _lane_cumsum_mxu(x, inclusive=True, reverse=False):
+    """Lane prefix sum as one (G, G) triangular matmul on the MXU.
+
+    out[p, j] = sum_i x[p, i] * tri[i, j].  HIGHEST precision (6-pass bf16
+    decomposition) keeps the result f32-accurate; the matmul runs on the MXU
+    concurrently with the kernel's VPU elementwise work, whereas the roll
+    variant serializes log2(G) cross-lane passes on the VPU.
+    """
+    g = x.shape[-1]
+    i = jax.lax.broadcasted_iota(jnp.int32, (g, g), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (g, g), 1)
+    cmp = (i >= j) if reverse else (i <= j)
+    tri = cmp.astype(jnp.float32)
+    s = jax.lax.dot_general(
+        x, tri, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    if not inclusive:
+        s = s - x
+    return s
+
+
+def _scan_fn(scan: str):
+    return _lane_cumsum_mxu if scan == "mxu" else _lane_cumsum_rolls
+
+
+def _chunk_geometry(rec, px, py, pos, lo, hi, ox, oy):
+    """Per-chunk alpha with window mask [lo, hi) on absolute pair positions.
+
+    px/py and the record means must be in the SAME frame; kernels pass
+    tile-local coordinates (pixel-in-tile and mean-minus-tile-origin), which
+    keeps dx/dy and the quadratic moments well conditioned in f32.
+    """
+    mx = rec[R_MX : R_MX + 1, :] - ox
+    my = rec[R_MY : R_MY + 1, :] - oy
     ca, cb, cc = (
         rec[R_CA : R_CA + 1, :],
         rec[R_CB : R_CB + 1, :],
@@ -236,8 +270,41 @@ def _chunk_geometry(rec, px, py, pos, lo, hi):
     alpha = jnp.where(keep, alpha, 0.0)
     return dict(
         dx=dx, dy=dy, power=power, raw_alpha=raw_alpha, alpha=alpha,
+        mx=mx, my=my, op=op,
         ca=ca, cb=cb, cc=cc, depth=rec[R_DEPTH : R_DEPTH + 1, :],
     )
+
+
+def _grad_contrib(geo, dpower, w, gdep, gimg, px, py, C):
+    """Per-pair gradient rows (NREC, G): direct products + sublane reductions.
+
+    (A central-moment MXU reformulation was measured at parity on v5e while
+    costing ~1 digit of precision to cancellation — the VPU products are not
+    the bottleneck, so the direct f32 form is kept.)  The opacity row folds
+    in for free: where alpha is unclamped and live, dop = exp(power) * dalpha
+    = dpower / opacity, and opacity is per-Gaussian constant.
+    """
+    dx, dy = geo["dx"], geo["dy"]
+    ca, cb, cc, op = geo["ca"], geo["cb"], geo["cc"], geo["op"]
+    g = w.shape[-1]
+    red = lambda x: jnp.sum(x, axis=0, keepdims=True)
+    rows = [
+        red((ca * dx + cb * dy) * dpower),                       # R_MX
+        red((cc * dy + cb * dx) * dpower),                       # R_MY
+        red(-0.5 * dx * dx * dpower),                            # R_CA
+        red(-dx * dy * dpower),                                  # R_CB
+        red(-0.5 * dy * dy * dpower),                            # R_CC
+        jnp.where(
+            op > 0.0, red(dpower) / jnp.maximum(op, 1e-30), 0.0
+        ),                                                       # R_OP
+        red(w * gdep),                                           # R_DEPTH
+    ]
+    for c in range(C):
+        rows.append(red(w * gimg[:, c : c + 1]))
+    pad = NREC - (R_COLOR0 + C)
+    if pad:
+        rows.append(jnp.zeros((pad, g), jnp.float32))
+    return jnp.concatenate(rows, axis=0)
 
 
 def _fwd_kernel(
@@ -245,12 +312,12 @@ def _fwd_kernel(
     records_ref, bg_ref,
     img_ref, depth_ref, tfin_ref, last_ref,
     rec_buf, sem, tcar, failed,
-    *, tiles_x: int, G: int, C: int,
+    *, tiles_x: int, G: int, C: int, scan: str,
 ):
     t = pl.program_id(0)
     s = start_ref[t]
     e = end_ref[t]
-    px, py = _pixel_coords(t, tiles_x)
+    px, py, ox, oy = _pixel_coords(t, tiles_x)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, G), 1)
 
     img_ref[0] = jnp.zeros((C, NPIX), jnp.float32)
@@ -268,16 +335,16 @@ def _fwd_kernel(
         cp.start()
         cp.wait()
         pos = s0 + lane
-        geo = _chunk_geometry(rec_buf[:], px, py, pos, s, e)
+        geo = _chunk_geometry(rec_buf[:], px, py, pos, s, e, ox, oy)
         alpha = geo["alpha"]
 
         z = jnp.log1p(-alpha)
-        excl = _lane_cumsum(z, inclusive=False)
+        excl = _scan_fn(scan)(z, inclusive=False)
         t_excl = tcar[:] * jnp.exp(excl)
         fail = ((t_excl * (1.0 - alpha) < TRANSMITTANCE_EPS) & (alpha > 0.0)).astype(
             jnp.float32
         )
-        failcnt = _lane_cumsum(fail, inclusive=True)
+        failcnt = _scan_fn(scan)(fail, inclusive=True)
         contribute = (failcnt == 0.0) & (failed[:] == 0.0)
         w = jnp.where(contribute, alpha * t_excl, 0.0)
 
@@ -316,12 +383,12 @@ def _bwd_kernel(
     tfin_ref, last_ref, gimg_ref, gdep_ref, gtf_ref, bg_ref,
     grads_ref,
     rec_buf, gbuf, prev_buf, sem_in, sem_out, sem_rmw, tback, gsum,
-    *, tiles_x: int, G: int, C: int,
+    *, tiles_x: int, G: int, C: int, scan: str,
 ):
     t = pl.program_id(0)
     s = start_ref[t]
     e = end_ref[t]
-    px, py = _pixel_coords(t, tiles_x)
+    px, py, ox, oy = _pixel_coords(t, tiles_x)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, G), 1)
 
     tfin = tfin_ref[0]
@@ -354,12 +421,12 @@ def _bwd_kernel(
         cp.start()
         cp.wait()
         pos = s0 + lane
-        geo = _chunk_geometry(rec_buf[:], px, py, pos, s, e)
+        geo = _chunk_geometry(rec_buf[:], px, py, pos, s, e, ox, oy)
         alpha = geo["alpha"]
 
         in_prefix = pos <= last
         az = jnp.where(in_prefix, jnp.log1p(-alpha), 0.0)
-        rev_incl = _lane_cumsum(az, inclusive=True, reverse=True)
+        rev_incl = _scan_fn(scan)(az, inclusive=True, reverse=True)
         t_excl = tback[:] * jnp.exp(-rev_incl)
         w = jnp.where(in_prefix, alpha * t_excl, 0.0)
 
@@ -367,29 +434,15 @@ def _bwd_kernel(
         for c in range(C):
             chat += gimg[:, c : c + 1] * rec_buf[R_COLOR0 + c : R_COLOR0 + c + 1, :]
         wchat = w * chat
-        suffix = gsum[:] + _lane_cumsum(wchat, inclusive=False, reverse=True)
+        suffix = gsum[:] + _scan_fn(scan)(wchat, inclusive=False, reverse=True)
 
         live = in_prefix & (alpha > 0.0)
         one_minus = jnp.where(live, 1.0 - alpha, 1.0)
         dalpha = jnp.where(live, t_excl * chat - suffix / one_minus, 0.0)
         unclamped = geo["raw_alpha"] < ALPHA_MAX
         dpower = jnp.where(unclamped, alpha * dalpha, 0.0)
-        dop = jnp.where(unclamped & live, jnp.exp(geo["power"]) * dalpha, 0.0)
 
-        dx, dy = geo["dx"], geo["dy"]
-        ca, cb, cc = geo["ca"], geo["cb"], geo["cc"]
-        red = lambda x: jnp.sum(x, axis=0, keepdims=True)
-        gbuf[R_MX : R_MX + 1, :] = red((ca * dx + cb * dy) * dpower)
-        gbuf[R_MY : R_MY + 1, :] = red((cc * dy + cb * dx) * dpower)
-        gbuf[R_CA : R_CA + 1, :] = red(-0.5 * dx * dx * dpower)
-        gbuf[R_CB : R_CB + 1, :] = red(-dx * dy * dpower)
-        gbuf[R_CC : R_CC + 1, :] = red(-0.5 * dy * dy * dpower)
-        gbuf[R_OP : R_OP + 1, :] = red(dop)
-        gbuf[R_DEPTH : R_DEPTH + 1, :] = red(w * gdep)
-        for c in range(C):
-            gbuf[R_COLOR0 + c : R_COLOR0 + c + 1, :] = red(w * gimg[:, c : c + 1])
-        for r in range(R_COLOR0 + C, NREC):
-            gbuf[r : r + 1, :] = jnp.zeros((1, G), jnp.float32)
+        gbuf[:] = _grad_contrib(geo, dpower, w, gdep, gimg, px, py, C)
 
         @pl.when((k == 0) & first_shared)
         def _():
@@ -497,7 +550,7 @@ def _fwd_kernel_grid(
     records_ref, bg_ref,
     img_ref, depth_ref, tfin_ref, last_ref,
     tcar, failed,
-    *, tiles_x: int, G: int, C: int,
+    *, tiles_x: int, G: int, C: int, scan: str,
 ):
     k = pl.program_id(0)
     t = tile_s[k]
@@ -525,19 +578,19 @@ def _fwd_kernel_grid(
 
         @pl.when((lo < hi) & jnp.logical_not(all_done))
         def _compute():
-            px, py = _pixel_coords(t, tiles_x)
+            px, py, ox, oy = _pixel_coords(t, tiles_x)
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, G), 1)
             pos = blk_s[k] * G + lane
-            geo = _chunk_geometry(records_ref[:], px, py, pos, lo, hi)
+            geo = _chunk_geometry(records_ref[:], px, py, pos, lo, hi, ox, oy)
             alpha = geo["alpha"]
 
             z = jnp.log1p(-alpha)
-            excl = _lane_cumsum(z, inclusive=False)
+            excl = _scan_fn(scan)(z, inclusive=False)
             t_excl = tcar[:] * jnp.exp(excl)
             fail = (
                 (t_excl * (1.0 - alpha) < TRANSMITTANCE_EPS) & (alpha > 0.0)
             ).astype(jnp.float32)
-            failcnt = _lane_cumsum(fail, inclusive=True)
+            failcnt = _scan_fn(scan)(fail, inclusive=True)
             contribute = (failcnt == 0.0) & (failed[:] == 0.0)
             w = jnp.where(contribute, alpha * t_excl, 0.0)
 
@@ -579,7 +632,7 @@ def _bwd_kernel_grid(
     records_ref, tfin_ref, last_ref, gimg_ref, gdep_ref, gtf_ref, bg_ref,
     grads_ref,
     tback, gsum,
-    *, tiles_x: int, G: int, C: int,
+    *, tiles_x: int, G: int, C: int, scan: str,
 ):
     k = pl.program_id(0)
     t = tile_s[k]
@@ -609,19 +662,19 @@ def _bwd_kernel_grid(
 
     @pl.when(relevant)
     def _run():
-        px, py = _pixel_coords(t, tiles_x)
+        px, py, ox, oy = _pixel_coords(t, tiles_x)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, G), 1)
 
         gimg = gimg_ref[0]
         gdep = gdep_ref[0]
 
         pos = blk_s[k] * G + lane
-        geo = _chunk_geometry(records_ref[:], px, py, pos, lo, hi)
+        geo = _chunk_geometry(records_ref[:], px, py, pos, lo, hi, ox, oy)
         alpha = geo["alpha"]
 
         in_prefix = pos <= last_ref[0]
         az = jnp.where(in_prefix, jnp.log1p(-alpha), 0.0)
-        rev_incl = _lane_cumsum(az, inclusive=True, reverse=True)
+        rev_incl = _scan_fn(scan)(az, inclusive=True, reverse=True)
         t_excl = tback[:] * jnp.exp(-rev_incl)
         w = jnp.where(in_prefix, alpha * t_excl, 0.0)
 
@@ -631,32 +684,15 @@ def _bwd_kernel_grid(
                 gimg[:, c : c + 1] * records_ref[R_COLOR0 + c : R_COLOR0 + c + 1, :]
             )
         wchat = w * chat
-        suffix = gsum[:] + _lane_cumsum(wchat, inclusive=False, reverse=True)
+        suffix = gsum[:] + _scan_fn(scan)(wchat, inclusive=False, reverse=True)
 
         live = in_prefix & (alpha > 0.0)
         one_minus = jnp.where(live, 1.0 - alpha, 1.0)
         dalpha = jnp.where(live, t_excl * chat - suffix / one_minus, 0.0)
         unclamped = geo["raw_alpha"] < ALPHA_MAX
         dpower = jnp.where(unclamped, alpha * dalpha, 0.0)
-        dop = jnp.where(unclamped & live, jnp.exp(geo["power"]) * dalpha, 0.0)
 
-        dx, dy = geo["dx"], geo["dy"]
-        ca, cb, cc = geo["ca"], geo["cb"], geo["cc"]
-        red = lambda x: jnp.sum(x, axis=0, keepdims=True)
-        rows = [None] * NREC
-        rows[R_MX] = red((ca * dx + cb * dy) * dpower)
-        rows[R_MY] = red((cc * dy + cb * dx) * dpower)
-        rows[R_CA] = red(-0.5 * dx * dx * dpower)
-        rows[R_CB] = red(-dx * dy * dpower)
-        rows[R_CC] = red(-0.5 * dy * dy * dpower)
-        rows[R_OP] = red(dop)
-        rows[R_DEPTH] = red(w * gdep)
-        for c in range(C):
-            rows[R_COLOR0 + c] = red(w * gimg[:, c : c + 1])
-        zero = jnp.zeros((1, G), jnp.float32)
-        contrib = jnp.concatenate(
-            [r if r is not None else zero for r in rows], axis=0
-        )
+        contrib = _grad_contrib(geo, dpower, w, gdep, gimg, px, py, C)
 
         @pl.when(newblk)
         def _():
@@ -674,7 +710,7 @@ def _bwd_kernel_grid(
         grads_ref[:] = jnp.zeros((NREC, G), jnp.float32)
 
 
-def _fwd_call_grid(records, start, end, bg, *, num_tiles, tiles_x, G, C):
+def _fwd_call_grid(records, start, end, bg, *, num_tiles, tiles_x, G, C, scan):
     mp = records.shape[1]
     max_chunks = mp // G + num_tiles
     tables = _chunk_tables(start, end, num_tiles, mp, G, reverse=False)
@@ -718,7 +754,7 @@ def _fwd_call_grid(records, start, end, bg, *, num_tiles, tiles_x, G, C):
         jax.ShapeDtypeStruct((num_tiles, NPIX, 1), jnp.float32),
         jax.ShapeDtypeStruct((num_tiles, NPIX, 1), jnp.int32),
     ]
-    kernel = functools.partial(_fwd_kernel_grid, tiles_x=tiles_x, G=G, C=C)
+    kernel = functools.partial(_fwd_kernel_grid, tiles_x=tiles_x, G=G, C=C, scan=scan)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -730,7 +766,7 @@ def _fwd_call_grid(records, start, end, bg, *, num_tiles, tiles_x, G, C):
 
 def _bwd_call_grid(
     records, start, end, bg, tfin, last, g_img_pix, g_dep, g_tf,
-    *, num_tiles, tiles_x, G, C,
+    *, num_tiles, tiles_x, G, C, scan,
 ):
     mp = records.shape[1]
     max_chunks = mp // G + num_tiles
@@ -764,7 +800,7 @@ def _bwd_call_grid(
             pltpu.VMEM((NPIX, 1), jnp.float32),
         ],
     )
-    kernel = functools.partial(_bwd_kernel_grid, tiles_x=tiles_x, G=G, C=C)
+    kernel = functools.partial(_bwd_kernel_grid, tiles_x=tiles_x, G=G, C=C, scan=scan)
     (grads,) = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -784,7 +820,7 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _fwd_call(records, start, end, bg, *, num_tiles, tiles_x, G, C):
+def _fwd_call(records, start, end, bg, *, num_tiles, tiles_x, G, C, scan):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
@@ -811,7 +847,7 @@ def _fwd_call(records, start, end, bg, *, num_tiles, tiles_x, G, C):
         jax.ShapeDtypeStruct((num_tiles, NPIX, 1), jnp.float32),
         jax.ShapeDtypeStruct((num_tiles, NPIX, 1), jnp.int32),
     ]
-    kernel = functools.partial(_fwd_kernel, tiles_x=tiles_x, G=G, C=C)
+    kernel = functools.partial(_fwd_kernel, tiles_x=tiles_x, G=G, C=C, scan=scan)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -823,7 +859,7 @@ def _fwd_call(records, start, end, bg, *, num_tiles, tiles_x, G, C):
 
 def _bwd_call(
     records, start, end, bg, tfin, last, g_img_pix, g_dep, g_tf,
-    *, num_tiles, tiles_x, G, C,
+    *, num_tiles, tiles_x, G, C, scan,
 ):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -849,7 +885,7 @@ def _bwd_call(
             pltpu.VMEM((NPIX, 1), jnp.float32),
         ],
     )
-    kernel = functools.partial(_bwd_kernel, tiles_x=tiles_x, G=G, C=C)
+    kernel = functools.partial(_bwd_kernel, tiles_x=tiles_x, G=G, C=C, scan=scan)
     (grads,) = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -903,12 +939,13 @@ def _composite_table(
 def _composite_table_fwd(
     table, bg, gid, start, end, offsets, counts, pos_of_slot, static
 ):
-    num_tiles, tiles_x, G, C, _max_span, kernel = static
+    num_tiles, tiles_x, G, C, _max_span, kernel, scan = static
     records = table[:, gid]  # (NREC, P) single fused column gather
     bg2 = bg[:, None]
     fwd_call = _fwd_call_grid if kernel == "grid" else _fwd_call
     img, dep, tfin, last = fwd_call(
-        records, start, end, bg2, num_tiles=num_tiles, tiles_x=tiles_x, G=G, C=C
+        records, start, end, bg2,
+        num_tiles=num_tiles, tiles_x=tiles_x, G=G, C=C, scan=scan,
     )
     out = (img, dep[..., 0], tfin[..., 0])
     residuals = (records, start, end, bg2, tfin, last, offsets, counts, pos_of_slot)
@@ -916,7 +953,7 @@ def _composite_table_fwd(
 
 
 def _composite_table_bwd(static, residuals, cotangents):
-    num_tiles, tiles_x, G, C, max_span, kernel = static
+    num_tiles, tiles_x, G, C, max_span, kernel, scan = static
     records, start, end, bg2, tfin, last, offsets, counts, pos_of_slot = residuals
     g_img, g_dep, g_tf = cotangents
     g_img_pix = jnp.swapaxes(g_img, 1, 2)
@@ -924,7 +961,7 @@ def _composite_table_bwd(static, residuals, cotangents):
     grads = bwd_call(
         records, start, end, bg2, tfin, last,
         g_img_pix, g_dep[..., None], g_tf[..., None],
-        num_tiles=num_tiles, tiles_x=tiles_x, G=G, C=C,
+        num_tiles=num_tiles, tiles_x=tiles_x, G=G, C=C, scan=scan,
     )
     d_table = _route_to_table(grads, offsets, counts, pos_of_slot, max_span)
     d_bg = jnp.einsum("tcp,tp->c", g_img, tfin[..., 0])
@@ -971,7 +1008,8 @@ def composite_exact(
     tiles_x, tiles_y = tile_grid(camera)
     num_tiles = tiles_x * tiles_y
     static = (
-        num_tiles, tiles_x, config.chunk_pairs, c, config.max_span, config.kernel
+        num_tiles, tiles_x, config.chunk_pairs, c, config.max_span,
+        config.kernel, config.scan,
     )
     table = _pack_table(
         mean2d, stream.splats.conic, colors, stream.g_opacity, stream.splats.depth
