@@ -15,6 +15,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import jax
 import jax.numpy as jnp
 
+from splatpu.obs.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 from splatpu.core.projection import preprocess
 from splatpu.core.types import activate_cloud
 from splatpu.data.synthetic import make_lookat_camera, make_random_cloud
@@ -89,7 +93,7 @@ def main():
 
     def route(g):
         return jnp.sum(
-            exact._route_to_table(g, st0.offsets, st0.counts, st0.pos_of_slot, span)
+            exact._route_to_table(g, st0.offsets, st0.counts, st0.pos_of_slot, 10)
         )
     r = time_fn(
         jax.jit(route), args_fn=lambda i: (fake + jnp.float32(i) * 1e-7,), iters=5

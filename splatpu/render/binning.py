@@ -56,8 +56,10 @@ class BinningConfig:
     kernel: str = "grid"     # exact-path compositing kernels: "grid" (chunk-table
                              # grid, Mosaic-pipelined DMA) or "manual" (per-tile
                              # grid with explicit in-kernel DMA)
-    scan: str = "mxu"        # in-kernel lane prefix sums: "mxu" (one triangular
-                             # matmul on the MXU, overlaps with VPU work) or
+    scan: str = "mxu2"       # in-kernel lane prefix sums: "mxu2" (128-blocked
+                             # triangular matmuls with a 2-pass bf16 split —
+                             # fastest, ~2e-6 rel err), "mxu" (one full (G, G)
+                             # triangular matmul at Precision.HIGHEST), or
                              # "rolls" (log2(G) Hillis-Steele roll+add passes)
 
     def padded_capacity(self, num_tiles: int) -> int:

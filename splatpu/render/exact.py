@@ -242,8 +242,76 @@ def _lane_cumsum_mxu(x, inclusive=True, reverse=False):
     return s
 
 
+_SCAN_BLOCK = 128  # MXU tile side
+
+
+def _tri_bf16(b: int, reverse: bool):
+    i = jax.lax.broadcasted_iota(jnp.int32, (b, b), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (b, b), 1)
+    cmp = (i >= j) if reverse else (i <= j)
+    return cmp.astype(jnp.bfloat16)
+
+
+def _split_dot(x, tri):
+    """f32-accurate x @ tri in TWO bf16 MXU passes.
+
+    tri is exactly representable in bf16 (entries 0/1), so only x needs the
+    hi+lo split; the f32 accumulator then carries ~16 mantissa bits of x —
+    3x cheaper than Precision.HIGHEST's 6-pass decomposition at ~2^-16
+    relative error (far below render/grad tolerances).
+    """
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    dims = (((x.ndim - 1,), (0,)), ((), ()))
+    return jax.lax.dot_general(
+        hi, tri, dims, preferred_element_type=jnp.float32
+    ) + jax.lax.dot_general(lo, tri, dims, preferred_element_type=jnp.float32)
+
+
+def _lane_cumsum_mxu2(x, inclusive=True, reverse=False):
+    """Lane prefix sum: 128-lane blocked triangular matmuls (split-bf16) with
+    an inter-block carry.
+
+    Work per element is a constant 128 MACs x 2 passes instead of the full
+    (G, G) x 6-pass HIGHEST matmul of `_lane_cumsum_mxu` — ~6x fewer MXU MACs
+    at G=256, ~12x at G=512 — while static lane slices keep everything
+    layout-aligned (no reshapes).
+    """
+    g = x.shape[-1]
+    b = _SCAN_BLOCK
+    if g <= b:
+        s = _split_dot(x, _tri_bf16(g, reverse))
+        return s if inclusive else s - x
+    assert g % b == 0
+    tri = _tri_bf16(b, reverse)
+    nb = g // b
+    blocks = [None] * nb
+    order = range(nb - 1, -1, -1) if reverse else range(nb)
+    carry = None
+    for k in order:
+        xs = x[..., k * b : (k + 1) * b]
+        s = _split_dot(xs, tri)
+        if carry is not None:
+            s = s + carry
+        # Running total through this block == last (first, if reverse)
+        # column of the inclusive scan.
+        carry = s[..., 0:1] if reverse else s[..., b - 1 : b]
+        blocks[k] = s
+    s = jnp.concatenate(blocks, axis=-1)
+    if not inclusive:
+        s = s - x
+    return s
+
+
+_SCANS = {
+    "mxu": _lane_cumsum_mxu,
+    "mxu2": _lane_cumsum_mxu2,
+    "rolls": _lane_cumsum_rolls,
+}
+
+
 def _scan_fn(scan: str):
-    return _lane_cumsum_mxu if scan == "mxu" else _lane_cumsum_rolls
+    return _SCANS[scan]
 
 
 def _chunk_geometry(rec, px, py, pos, lo, hi, ox, oy):
@@ -545,10 +613,18 @@ def _chunk_tables(start, end, num_tiles: int, mp: int, G: int, reverse: bool):
     return sg(t), sg(blk), sg(lo), sg(hi), sg(first), sg(marker)
 
 
+# Packed forward-output lane layout (one (NPIX, PACK) block per tile):
+# lanes [0, C) image, C depth, C+1 final transmittance, C+2 last-contributor
+# position (as f32; positions < 2^24 are exact).  One output block instead of
+# four: each extra output block pipeline costs ~0.17 us/grid-step on v5e
+# (measured, scripts/probe_kernel_cost.py), which dominated the kernels.
+PACK = 8
+
+
 def _fwd_kernel_grid(
     tile_s, blk_s, lo_s, hi_s, first_s, last_s,
     records_ref, bg_ref,
-    img_ref, depth_ref, tfin_ref, last_ref,
+    out_ref,
     tcar, failed,
     *, tiles_x: int, G: int, C: int, scan: str,
 ):
@@ -565,9 +641,8 @@ def _fwd_kernel_grid(
     def _run():
         @pl.when(first)
         def _():
-            img_ref[0] = jnp.zeros((C, NPIX), jnp.float32)
-            depth_ref[0] = jnp.zeros((NPIX, 1), jnp.float32)
-            last_ref[0] = jnp.full((NPIX, 1), -1, jnp.int32)
+            out_ref[0] = jnp.zeros((NPIX, PACK), jnp.float32)
+            out_ref[0, :, C + 2 : C + 3] = jnp.full((NPIX, 1), -1.0, jnp.float32)
             tcar[:] = jnp.ones((NPIX, 1), jnp.float32)
             failed[:] = jnp.zeros((NPIX, 1), jnp.float32)
 
@@ -595,12 +670,12 @@ def _fwd_kernel_grid(
             w = jnp.where(contribute, alpha * t_excl, 0.0)
 
             colors = records_ref[R_COLOR0 : R_COLOR0 + C, :]
-            img_ref[0] += jax.lax.dot_general(
-                colors, w, (((1,), (1,)), ((), ())),
+            out_ref[0, :, 0:C] += jax.lax.dot_general(
+                w, colors, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )
-            depth_ref[0] += jax.lax.dot_general(
+            out_ref[0, :, C : C + 1] += jax.lax.dot_general(
                 w, geo["depth"], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
@@ -611,25 +686,28 @@ def _fwd_kernel_grid(
                 failed[:], jnp.max(fail, axis=1, keepdims=True)
             )
             lastp = jnp.max(
-                jnp.where(contribute & (alpha > 0.0), pos, -1),
+                jnp.where(contribute & (alpha > 0.0), pos.astype(jnp.float32), -1.0),
                 axis=1,
                 keepdims=True,
             )
-            last_ref[0] = jnp.maximum(last_ref[0], lastp)
+            out_ref[0, :, C + 2 : C + 3] = jnp.maximum(
+                out_ref[0, :, C + 2 : C + 3], lastp
+            )
 
         @pl.when(last)
         def _():
-            img_ref[0] += jax.lax.dot_general(
-                bg_ref[:], tcar[:], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            tfin_ref[0] = tcar[:]
+            out_ref[0, :, 0:C] += tcar[:] * bg_ref[0:1, :]
+            out_ref[0, :, C + 1 : C + 2] = tcar[:]
+
+
+# Packed backward-cotangent lane layout (one (NPIX, PACK) input block):
+# lanes [0, C) d(image), C d(depth), C+1 d(final transmittance).  The other
+# packed input is the forward kernel's PACK block (tfin/last lanes).
 
 
 def _bwd_kernel_grid(
     tile_s, blk_s, lo_s, hi_s, first_s, newblk_s,
-    records_ref, tfin_ref, last_ref, gimg_ref, gdep_ref, gtf_ref, bg_ref,
+    records_ref, fwdout_ref, cot_ref, bg_ref,
     grads_ref,
     tback, gsum,
     *, tiles_x: int, G: int, C: int, scan: str,
@@ -643,36 +721,38 @@ def _bwd_kernel_grid(
 
     @pl.when(first & (lo < hi))
     def _():
-        tback[:] = tfin_ref[0]
-        gsum[:] = tfin_ref[0] * (
-            jax.lax.dot_general(
-                gimg_ref[0], bg_ref[:], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            + gtf_ref[0]
-        )
+        tfin = fwdout_ref[0, :, C + 1 : C + 2]
+        tback[:] = tfin
+        # Unrolled (NPIX, C) x (C,) contraction: Mosaic rejects the tiny
+        # dot_general here ("only constant accumulators supported").
+        gbg = cot_ref[0, :, C + 1 : C + 2]  # d(tfin) cotangent
+        for c in range(C):
+            gbg = gbg + cot_ref[0, :, c : c + 1] * bg_ref[0:1, c : c + 1]
+        gsum[:] = tfin * gbg
 
     # Beyond-last-contributor skip (mirror of the forward kernel's early
     # termination): a chunk whose positions all exceed the tile's furthest
     # per-pixel last contributor has zero gradient everywhere; in the
     # reverse walk these are each tile's FIRST chunks.  Skipped chunks that
     # own a fresh output block still zero-fill it (routing reads it).
-    relevant = (lo < hi) & (blk_s[k] * G <= jnp.max(last_ref[0]))
+    last_f = fwdout_ref[0, :, C + 2 : C + 3]
+    relevant = (lo < hi) & (
+        (blk_s[k] * G).astype(jnp.float32) <= jnp.max(last_f)
+    )
 
     @pl.when(relevant)
     def _run():
         px, py, ox, oy = _pixel_coords(t, tiles_x)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, G), 1)
 
-        gimg = gimg_ref[0]
-        gdep = gdep_ref[0]
+        gimg = cot_ref[0, :, 0:C]
+        gdep = cot_ref[0, :, C : C + 1]
 
         pos = blk_s[k] * G + lane
         geo = _chunk_geometry(records_ref[:], px, py, pos, lo, hi, ox, oy)
         alpha = geo["alpha"]
 
-        in_prefix = pos <= last_ref[0]
+        in_prefix = pos.astype(jnp.float32) <= last_f
         az = jnp.where(in_prefix, jnp.log1p(-alpha), 0.0)
         rev_incl = _scan_fn(scan)(az, inclusive=True, reverse=True)
         t_excl = tback[:] * jnp.exp(-rev_incl)
@@ -710,7 +790,8 @@ def _bwd_kernel_grid(
         grads_ref[:] = jnp.zeros((NREC, G), jnp.float32)
 
 
-def _fwd_call_grid(records, start, end, bg, *, num_tiles, tiles_x, G, C, scan):
+def _fwd_call_grid(records, start, end, bg_row, *, num_tiles, tiles_x, G, C, scan):
+    """Packed forward: returns (num_tiles, NPIX, PACK) — see PACK layout."""
     mp = records.shape[1]
     max_chunks = mp // G + num_tiles
     tables = _chunk_tables(start, end, num_tiles, mp, G, reverse=False)
@@ -727,19 +808,7 @@ def _fwd_call_grid(records, start, end, bg, *, num_tiles, tiles_x, G, C, scan):
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, C, NPIX), lambda k, tile_s, *_: (tile_s[k], 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, NPIX, 1), lambda k, tile_s, *_: (tile_s[k], 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, NPIX, 1), lambda k, tile_s, *_: (tile_s[k], 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, NPIX, 1), lambda k, tile_s, *_: (tile_s[k], 0, 0),
+                (1, NPIX, PACK), lambda k, tile_s, *_: (tile_s[k], 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -748,24 +817,19 @@ def _fwd_call_grid(records, start, end, bg, *, num_tiles, tiles_x, G, C, scan):
             pltpu.VMEM((NPIX, 1), jnp.float32),
         ],
     )
-    out_shapes = [
-        jax.ShapeDtypeStruct((num_tiles, C, NPIX), jnp.float32),
-        jax.ShapeDtypeStruct((num_tiles, NPIX, 1), jnp.float32),
-        jax.ShapeDtypeStruct((num_tiles, NPIX, 1), jnp.float32),
-        jax.ShapeDtypeStruct((num_tiles, NPIX, 1), jnp.int32),
-    ]
     kernel = functools.partial(_fwd_kernel_grid, tiles_x=tiles_x, G=G, C=C, scan=scan)
-    return pl.pallas_call(
+    (out,) = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=out_shapes,
+        out_shape=[jax.ShapeDtypeStruct((num_tiles, NPIX, PACK), jnp.float32)],
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-    )(*tables, records, bg)
+    )(*tables, records, bg_row)
+    return out
 
 
 def _bwd_call_grid(
-    records, start, end, bg, tfin, last, g_img_pix, g_dep, g_tf,
+    records, start, end, bg_row, fwdout, cot,
     *, num_tiles, tiles_x, G, C, scan,
 ):
     mp = records.shape[1]
@@ -781,11 +845,8 @@ def _bwd_call_grid(
                 lambda k, tile_s, blk_s, *_: (0, blk_s[k]),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((1, NPIX, 1), tile_block, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NPIX, 1), tile_block, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NPIX, C), tile_block, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NPIX, 1), tile_block, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NPIX, 1), tile_block, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NPIX, PACK), tile_block, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NPIX, PACK), tile_block, memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -807,7 +868,7 @@ def _bwd_call_grid(
         out_shape=[jax.ShapeDtypeStruct(records.shape, jnp.float32)],
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-    )(*tables, records, tfin, last, g_img_pix, g_dep, g_tf, bg)
+    )(*tables, records, fwdout, cot, bg_row)
     return grads
 
 
@@ -901,7 +962,7 @@ def _bwd_call(
 # ---------------------------------------------------------------------------
 
 
-def _route_to_table(grads, offsets, counts, pos_of_slot, max_span):
+def _route_to_table(grads, offsets, counts, pos_of_slot, n_rows):
     """Per-pair grads (NREC, P) -> per-Gaussian grads (NREC, N).
 
     One column gather into emission-slot order, then per-Gaussian segment
@@ -911,19 +972,28 @@ def _route_to_table(grads, offsets, counts, pos_of_slot, max_span):
     max_span) windowed gather (~3.5x faster at 100k Gaussians / span 32), and
     never scatter-adds.  Rounding from the long cumsum is ~eps * |running
     sum|, orders of magnitude below gradient-test tolerances.
+
+    Only the first ``n_rows`` record rows carry real gradients (7 geometry
+    rows + C color rows); the NREC padding rows are sliced off before the
+    big gather/cumsum (~40% less permutation traffic at C=3) and re-padded
+    with zeros at the end.
     """
-    del max_span
     mp = pos_of_slot.shape[0]
+    nrec = grads.shape[0]
+    grads = grads[:n_rows]
     valid = pos_of_slot < mp
     slotg = jnp.where(
         valid[None, :], grads[:, jnp.minimum(pos_of_slot, mp - 1)], 0.0
-    )  # (NREC, P) in emission-slot order; dropped slots contribute 0
+    )  # (n_rows, P) in emission-slot order; dropped slots contribute 0
     csum = jnp.cumsum(slotg, axis=1)
     hi = jnp.clip(offsets + counts - 1, 0, mp - 1)
     lo = offsets - 1
     hi_v = csum[:, hi]
     lo_v = jnp.where((lo >= 0)[None, :], csum[:, jnp.clip(lo, 0, mp - 1)], 0.0)
-    return jnp.where((counts > 0)[None, :], hi_v - lo_v, 0.0)  # (NREC, N)
+    out = jnp.where((counts > 0)[None, :], hi_v - lo_v, 0.0)  # (n_rows, N)
+    return jnp.concatenate(
+        [out, jnp.zeros((nrec - n_rows, out.shape[1]), out.dtype)], axis=0
+    )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
@@ -939,32 +1009,60 @@ def _composite_table(
 def _composite_table_fwd(
     table, bg, gid, start, end, offsets, counts, pos_of_slot, static
 ):
+    """Outputs are pixel-major per tile: (img (T, NPIX, C), dep (T, NPIX),
+    tfin (T, NPIX)) — cotangents then arrive already in the packed kernels'
+    layout, with zero transposes on either side."""
     num_tiles, tiles_x, G, C, _max_span, kernel, scan = static
     records = table[:, gid]  # (NREC, P) single fused column gather
-    bg2 = bg[:, None]
-    fwd_call = _fwd_call_grid if kernel == "grid" else _fwd_call
-    img, dep, tfin, last = fwd_call(
-        records, start, end, bg2,
-        num_tiles=num_tiles, tiles_x=tiles_x, G=G, C=C, scan=scan,
-    )
-    out = (img, dep[..., 0], tfin[..., 0])
-    residuals = (records, start, end, bg2, tfin, last, offsets, counts, pos_of_slot)
+    if kernel == "grid":
+        packed = _fwd_call_grid(
+            records, start, end, bg[None, :],
+            num_tiles=num_tiles, tiles_x=tiles_x, G=G, C=C, scan=scan,
+        )
+        out = (packed[..., :C], packed[..., C], packed[..., C + 1])
+        aux = packed
+    else:
+        img, dep, tfin, last = _fwd_call(
+            records, start, end, bg[:, None],
+            num_tiles=num_tiles, tiles_x=tiles_x, G=G, C=C, scan=scan,
+        )
+        out = (jnp.swapaxes(img, 1, 2), dep[..., 0], tfin[..., 0])
+        aux = (tfin, last)
+    residuals = (records, start, end, bg, aux, offsets, counts, pos_of_slot)
     return out, residuals
 
 
 def _composite_table_bwd(static, residuals, cotangents):
-    num_tiles, tiles_x, G, C, max_span, kernel, scan = static
-    records, start, end, bg2, tfin, last, offsets, counts, pos_of_slot = residuals
-    g_img, g_dep, g_tf = cotangents
-    g_img_pix = jnp.swapaxes(g_img, 1, 2)
-    bwd_call = _bwd_call_grid if kernel == "grid" else _bwd_call
-    grads = bwd_call(
-        records, start, end, bg2, tfin, last,
-        g_img_pix, g_dep[..., None], g_tf[..., None],
-        num_tiles=num_tiles, tiles_x=tiles_x, G=G, C=C, scan=scan,
-    )
-    d_table = _route_to_table(grads, offsets, counts, pos_of_slot, max_span)
-    d_bg = jnp.einsum("tcp,tp->c", g_img, tfin[..., 0])
+    num_tiles, tiles_x, G, C, _max_span, kernel, scan = static
+    records, start, end, bg, aux, offsets, counts, pos_of_slot = residuals
+    g_img, g_dep, g_tf = cotangents  # g_img is (T, NPIX, C)
+    if kernel == "grid":
+        packed = aux
+        num_t = packed.shape[0]
+        cot = jnp.concatenate(
+            [
+                g_img,
+                g_dep[..., None],
+                g_tf[..., None],
+                jnp.zeros((num_t, NPIX, PACK - C - 2), jnp.float32),
+            ],
+            axis=-1,
+        )
+        grads = _bwd_call_grid(
+            records, start, end, bg[None, :], packed, cot,
+            num_tiles=num_tiles, tiles_x=tiles_x, G=G, C=C, scan=scan,
+        )
+        tfin = packed[..., C + 1]
+    else:
+        tfin4, last4 = aux
+        grads = _bwd_call(
+            records, start, end, bg[:, None], tfin4, last4,
+            g_img, g_dep[..., None], g_tf[..., None],
+            num_tiles=num_tiles, tiles_x=tiles_x, G=G, C=C, scan=scan,
+        )
+        tfin = tfin4[..., 0]
+    d_table = _route_to_table(grads, offsets, counts, pos_of_slot, R_COLOR0 + C)
+    d_bg = jnp.einsum("tpc,tp->c", g_img, tfin)
     return (d_table, d_bg, None, None, None, None, None, None)
 
 
@@ -1020,9 +1118,9 @@ def composite_exact(
     )
 
     def untile(x_tiles):
-        if x_tiles.ndim == 3 and x_tiles.shape[1] != NPIX:  # (T, C, NPIX)
-            x = x_tiles.reshape(tiles_y, tiles_x, -1, TILE, TILE)
-            x = jnp.transpose(x, (2, 0, 3, 1, 4)).reshape(
+        if x_tiles.ndim == 3:  # (T, NPIX, C) pixel-major -> (C, H, W)
+            x = x_tiles.reshape(tiles_y, tiles_x, TILE, TILE, -1)
+            x = jnp.transpose(x, (4, 0, 2, 1, 3)).reshape(
                 -1, tiles_y * TILE, tiles_x * TILE
             )
             return x[:, : camera.height, : camera.width]

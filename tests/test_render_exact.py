@@ -12,12 +12,15 @@ from splatpu.render.api import render, render_dual
 from splatpu.render.binning import BinningConfig
 
 CFG = BinningConfig(max_span=64, max_pairs=1 << 12, chunk_pairs=256)
-KERNELS = ["grid", "manual"]
+# (kernel flavor, in-kernel lane-scan flavor) combinations under test.
+KERNELS = [("grid", "mxu"), ("grid", "mxu2"), ("grid", "rolls"), ("manual", "mxu2")]
 
 
-def cfg_for(kernel):
+def cfg_for(kernel, scan="mxu"):
+    if isinstance(kernel, tuple):
+        kernel, scan = kernel
     return BinningConfig(
-        max_span=64, max_pairs=1 << 12, chunk_pairs=256, kernel=kernel
+        max_span=64, max_pairs=1 << 12, chunk_pairs=256, kernel=kernel, scan=scan
     )
 
 
