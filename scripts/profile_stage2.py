@@ -68,7 +68,7 @@ def main():
 
     t("deform fwd", deform, jig_net)
     t("deform fwd+bwd", lambda p: jax.grad(
-        lambda q: deform(q))(p)["input_proj"]["kernel"][0, 0], jig_net)
+        lambda q: deform(q))(p)["fc_in"]["w"].ravel()[0], jig_net)
 
     def rig(p):
         u = update_cloud_parameters(
@@ -81,7 +81,7 @@ def main():
         )
 
     t("deform+rigidity fwd+bwd", lambda p: jax.grad(
-        lambda q: rig(q))(p)["input_proj"]["kernel"][0, 0], jig_net)
+        lambda q: rig(q))(p)["fc_in"]["w"].ravel()[0], jig_net)
 
     def renders(p):
         u = update_cloud_parameters(
@@ -98,7 +98,7 @@ def main():
 
     t("deform+5renders fwd", renders, jig_net)
     t("deform+5renders fwd+bwd", lambda p: jax.grad(
-        lambda q: renders(q))(p)["input_proj"]["kernel"][0, 0], jig_net)
+        lambda q: renders(q))(p)["fc_in"]["w"].ravel()[0], jig_net)
 
     def snap(p):
         u = update_cloud_parameters(
@@ -109,6 +109,44 @@ def main():
         return jnp.sum(e) + jnp.sum(f.inverted_rotations)
 
     t("deform+snapshot", snap, jig_net)
+
+    # Full loss (rigidity + 5 renders incl. SSIM) fwd+bwd — everything the
+    # real step differentiates, no optimizer/snapshot.
+    def full_loss(p):
+        u = update_cloud_parameters(
+            p, dense_cloud, enc_init, enc_prev, 1.0, cfg.timestep_count,
+            net_cfg, cfg.quirk_compat,
+        )
+        rigl = rigidity_loss(
+            u.means[fg_idx], u.rotation_quaternions[fg_idx],
+            neighbor_info, prev_fg,
+        )
+        args = activate_cloud(u)
+
+        def one(img):
+            out = render(args, cam, impl=cfg.renderer, config=cfg.binning)
+            return jnp.mean(jnp.abs(out.image - img)) + (1.0 - ssim(out.image, img))
+
+        return jnp.sum(jax.lax.map(one, images)) + 3.0 * v * rigl
+
+    t("full loss fwd+bwd", lambda p: jax.grad(full_loss)(p)["fc_in"]["w"].ravel()[0],
+      jig_net)
+
+    # The real jitted training step.
+    step2 = s2.make_train_step(optimizer, cfg)
+    all_w2c = jnp.tile(cam.w2c[None], (v, 1, 1))
+    all_K = jnp.tile(cam.K[None], (v, 1, 1))
+    pick = jnp.arange(v, dtype=jnp.int32)
+
+    def real_step(p):
+        out = step2(
+            p, opt_state2, enc_prev, prev_fg, jnp.float32(1.0),
+            all_w2c, all_K, images, pick, cam, dense_cloud, enc_init,
+            fg_idx, neighbor_info,
+        )
+        return out[4]["total"]
+
+    t("REAL make_train_step", real_step, jig_net)
 
 
 if __name__ == "__main__":

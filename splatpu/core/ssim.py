@@ -1,8 +1,11 @@
 """Windowed SSIM, numerically matching the reference (`external.py:49-110`).
 
 11x11 Gaussian window (sigma=1.5, normalized to sum 1), zero 'SAME' padding,
-per-channel (grouped) convolution, c1=0.01^2, c2=0.03^2.  On TPU the five
-depthwise convolutions fuse into a handful of VPU-friendly ops under jit.
+per-channel (grouped) convolution, c1=0.01^2, c2=0.03^2.  The reference's 2D
+window is `outer(g, g)` (`external.py:55-58`), i.e. exactly separable: the
+depthwise convolution runs as two 1D 11-tap passes (rows then columns) — the
+same result with 5.5x fewer taps, which matters because depthwise convs run
+on the VPU, not the MXU.
 """
 
 import functools
@@ -21,18 +24,28 @@ def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
     return w2d
 
 
+@functools.lru_cache(maxsize=8)
+def _gaussian_1d(window_size: int, sigma: float) -> np.ndarray:
+    xs = np.arange(window_size)
+    g = np.exp(-((xs - window_size // 2) ** 2) / (2.0 * sigma**2))
+    return (g / g.sum()).astype(np.float32)
+
+
 def _depthwise_conv_same(img, window):
-    """img: (B, C, H, W); window: (Kh, Kw) applied per channel with zero padding."""
+    """img: (B, C, H, W); separable window applied per channel, zero 'SAME'
+    padding.  `window` is the 1D row; the 2D window is outer(window, window)."""
     c = img.shape[1]
-    kernel = jnp.broadcast_to(window, (c, 1) + window.shape)  # (C, 1, Kh, Kw)
-    return jax.lax.conv_general_dilated(
-        img,
-        kernel,
+    k = window.shape[0]
+    kern_h = jnp.broadcast_to(window.reshape(1, 1, k, 1), (c, 1, k, 1))
+    kern_w = jnp.broadcast_to(window.reshape(1, 1, 1, k), (c, 1, 1, k))
+    conv = functools.partial(
+        jax.lax.conv_general_dilated,
         window_strides=(1, 1),
         padding="SAME",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         feature_group_count=c,
     )
+    return conv(conv(img, kern_h), kern_w)
 
 
 def ssim(img1, img2, window_size: int = 11, sigma: float = 1.5, size_average: bool = True):
@@ -45,7 +58,7 @@ def ssim(img1, img2, window_size: int = 11, sigma: float = 1.5, size_average: bo
     if squeeze:
         img1 = img1[None]
         img2 = img2[None]
-    window = jnp.asarray(_gaussian_window(window_size, sigma), img1.dtype)
+    window = jnp.asarray(_gaussian_1d(window_size, sigma), img1.dtype)
 
     conv = functools.partial(_depthwise_conv_same, window=window)
     mu1 = conv(img1)
