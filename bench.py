@@ -38,8 +38,7 @@ def main():
 
     from splatpu.core.types import activate_cloud
     from splatpu.data.synthetic import make_lookat_camera, make_random_cloud
-    from splatpu.render.api import render
-    from splatpu.render.binning import BinningConfig
+    from splatpu.render.api import default_config, render
 
     on_tpu = jax.default_backend() == "tpu"
     n = N_GAUSSIANS if on_tpu else 2_000
@@ -49,11 +48,8 @@ def main():
         jax.random.key(0), n, extent=1.2, scale_range=(0.005, 0.02)
     )
     cam = make_lookat_camera(eye=(0, 0, -4.0), width=w, height=h, focal=0.8 * w)
-    config = BinningConfig(
-        max_span=32,
-        max_pairs=1 << (20 if on_tpu else 15),
-        chunk_pairs=128,
-    )
+    # The product-default budget heuristic (~8 pairs/Gaussian, chunk-aligned).
+    config = default_config(n)
     impl = "pallas" if on_tpu and _pallas_available() else "stream"
     target = jnp.zeros((3, h, w))
 

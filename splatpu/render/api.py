@@ -20,6 +20,7 @@ Implementations:
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 
 import jax
@@ -156,11 +157,12 @@ def render_dual(
 
 
 def default_config(n_gaussians: int) -> BinningConfig:
-    """Pair budget heuristic: ~8 tiles per Gaussian, power-of-two, bounded.
+    """Pair budget heuristic: ~8 tiles per Gaussian, rounded up to the chunk
+    size (every binning/routing/gather domain scales linearly with the
+    budget, so an exact multiple beats the next power of two by up to 2x).
     Check `PairStream.overflowed` for scenes that blow the budget."""
-
-    def next_pow2(x):
-        return 1 << max(12, (int(x) - 1).bit_length())
-
+    cfg = BinningConfig()
+    chunk = cfg.chunk_pairs
     budget = min(max(n_gaussians * 8, 1 << 12), 1 << 21)
-    return BinningConfig(max_pairs=next_pow2(budget))
+    budget = -(-budget // chunk) * chunk
+    return dataclasses.replace(cfg, max_pairs=budget)
