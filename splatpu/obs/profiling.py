@@ -30,6 +30,18 @@ def force_completion(out) -> float:
     return acc
 
 
+def observe_completion(out) -> float:
+    """Fetch one element of ONE leaf — enough to observe completion of
+    everything enqueued before it (single-chip executions are
+    FIFO-serialized), at one tunnel round-trip (~10-20 ms) instead of one per
+    leaf.  Use inside timing loops; use `force_completion` when every leaf
+    must actually be materialized."""
+    for leaf in jax.tree.leaves(out):
+        if hasattr(leaf, "ravel") and getattr(leaf, "size", 0):
+            return float(leaf.ravel()[0].astype("float32"))
+    return 0.0
+
+
 def time_fn(
     fn: Callable, *args, warmup: int = 2, iters: int = 10, args_fn=None
 ) -> dict:
@@ -58,7 +70,7 @@ def time_fn(
     out = None
     for a in inputs:
         out = fn(*a)
-    force_completion(out)
+    observe_completion(out)
     elapsed_ms = (time.perf_counter() - t0) * 1000.0
     return {
         "mean_ms": elapsed_ms / iters,

@@ -48,8 +48,14 @@ class BinningConfig:
     """
 
     max_span: int = 32       # max tiles a single Gaussian may cover (rest dropped;
-                             # emission work scales with this — `overflowed` flags
-                             # scenes that need more)
+                             # `overflowed` flags scenes that need more)
+    span_small: int = 16     # exact path: lanes emitted for EVERY Gaussian; ones
+                             # covering more tiles go through a compacted "big"
+                             # domain with max_span lanes.  Emission/sort work is
+                             # N*span_small + big_capacity*max_span instead of
+                             # N*max_span (~40% less at typical span skew).
+    big_capacity: int | None = None  # static big-Gaussian slots (None = n/16,
+                             # clamped to [1024, 65536] and n)
     max_pairs: int = 2**20   # total pair budget (pre-alignment)
     chunk_pairs: int = 128   # pair-stream chunk size AND tile segment alignment
                              # (128 measured fastest for the exact grid path on v5e)

@@ -96,17 +96,10 @@ def build_exact_stream(
     total_pairs = jnp.sum(count)
     offsets = jnp.cumsum(count) - count
 
-    s = jnp.arange(max_span, dtype=jnp.int32)[None, :]
-    valid = s < count[:, None]
-    safe_w = jnp.maximum(span_w, 1)[:, None]
-    sy = s // safe_w
-    sx = s - sy * safe_w
-    tile_id = (ty0[:, None] + sy) * tiles_x + (tx0[:, None] + sx)
-
     d = sp.depth
-    big = jnp.float32(1e10)
-    dmin = jnp.min(jnp.where(sp.visible, d, big))
-    dmax = jnp.max(jnp.where(sp.visible, d, -big))
+    big_f = jnp.float32(1e10)
+    dmin = jnp.min(jnp.where(sp.visible, d, big_f))
+    dmax = jnp.max(jnp.where(sp.visible, d, -big_f))
     limit = (1 << depth_bits) - 1
     dscale = jnp.float32(limit) / jnp.maximum(dmax - dmin, 1e-9)
     dq = jnp.minimum(
@@ -114,24 +107,67 @@ def build_exact_stream(
         jnp.uint32(limit),
     )
 
-    # Budget clipping happens PRE-sort, in emission-slot order (the first
-    # max_pairs pairs by gaussian index survive — same drop policy as a
-    # scatter into an mp-sized buffer would give, but without the scatter:
-    # a direct 2-array sort over the full (N, max_span) emission domain is
-    # ~3.5x faster on TPU than scatter-then-sort (scatter throughput is the
-    # bottleneck, sort scales near-linearly).
-    slot = offsets[:, None] + s
-    valid = valid & (slot < mp)
-
     sentinel = jnp.uint32(0xFFFFFFFF)
-    key = (tile_id.astype(jnp.uint32) << depth_bits) | dq[:, None]
-    key = jnp.where(valid, key, sentinel)
     gids = jnp.arange(n, dtype=jnp.int32)
-    val = ((gids[:, None] << lane_bits) | s).astype(jnp.uint32)
-    val = jnp.where(valid, val, jnp.uint32(0))
+
+    def emit(g, s_lanes, lane_valid):
+        """Fused (key, val) emission for gaussians `g` x lanes `s_lanes`.
+
+        Budget clipping happens PRE-sort, in emission-slot order (the first
+        max_pairs pairs by gaussian index survive — same drop policy as a
+        scatter into an mp-sized buffer would give, but without the scatter:
+        a direct 2-array sort over the emission domain is ~3.5x faster on TPU
+        than scatter-then-sort).
+        """
+        safe_w = jnp.maximum(span_w[g], 1)[:, None]
+        sy = s_lanes // safe_w
+        sx = s_lanes - sy * safe_w
+        tile_id = (ty0[g][:, None] + sy) * tiles_x + (tx0[g][:, None] + sx)
+        slot = offsets[g][:, None] + s_lanes
+        ok = lane_valid & (slot < mp)
+        key = (tile_id.astype(jnp.uint32) << depth_bits) | dq[g][:, None]
+        key = jnp.where(ok, key, sentinel)
+        val = ((g[:, None] << lane_bits) | s_lanes).astype(jnp.uint32)
+        val = jnp.where(ok, val, jnp.uint32(0))
+        return key.reshape(-1), val.reshape(-1)
+
+    span_small = min(config.span_small, max_span)
+    if span_small < max_span:
+        # Two-class emission: every Gaussian gets span_small lanes; the few
+        # covering more tiles are compacted into a static big-Gaussian domain
+        # with the full max_span lanes.  Sort work drops from N*max_span to
+        # N*span_small + cap_b*max_span.
+        cap_b = config.big_capacity or max(1024, n // 16)
+        cap_b = min(cap_b, n)
+        is_big = count > span_small
+        n_big = jnp.sum(is_big)
+        # Dense prefix of big gaussian ids (one N-element sort; stable, so
+        # depth-independent original order is preserved).
+        _, order = jax.lax.sort(
+            ((~is_big).astype(jnp.int32), gids), dimension=0, num_keys=1
+        )
+        big_ids = jax.lax.stop_gradient(order[:cap_b])
+        span_overflow = span_overflow | (n_big > cap_b)
+
+        s_a = jnp.arange(span_small, dtype=jnp.int32)[None, :]
+        key_a, val_a = emit(
+            gids, s_a, (s_a < count[:, None]) & (~is_big)[:, None]
+        )
+        s_b = jnp.arange(max_span, dtype=jnp.int32)[None, :]
+        row_live = (
+            jnp.arange(cap_b, dtype=jnp.int32) < n_big
+        )[:, None]
+        key_b, val_b = emit(
+            big_ids, s_b, (s_b < count[big_ids][:, None]) & row_live
+        )
+        key_flat = jnp.concatenate([key_a, key_b])
+        val_flat = jnp.concatenate([val_a, val_b])
+    else:
+        s = jnp.arange(max_span, dtype=jnp.int32)[None, :]
+        key_flat, val_flat = emit(gids, s, s < count[:, None])
 
     keys_all, vals_all = jax.lax.sort(
-        (key.reshape(-1), val.reshape(-1)), dimension=0, num_keys=1
+        (key_flat, val_flat), dimension=0, num_keys=1
     )
     # All <= mp valid keys sort before the 0xFFFFFFFF sentinels, so the first
     # mp positions contain every kept pair.  Pad for tiny emission domains.

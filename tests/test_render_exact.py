@@ -129,6 +129,40 @@ class TestExactVsOracle:
         assert np.abs(g1).max() > 0
         np.testing.assert_allclose(g2, 0.0, atol=1e-12)
 
+    def test_big_gaussian_two_class_emission(self):
+        # Gaussians spanning far more than span_small tiles must route through
+        # the compacted big-Gaussian emission domain and still match the oracle.
+        cloud, cam = scene(7, n=24, w=96, h=64)
+        cloud = cloud.replace(log_scales=cloud.log_scales + 1.5)  # inflate
+        args = activate_cloud(cloud)
+        cfg = BinningConfig(
+            max_span=256, span_small=8, big_capacity=1024,
+            max_pairs=1 << 14, chunk_pairs=128,
+        )
+        ref = render(args, cam, impl="oracle")
+        got = render(args, cam, impl="pallas", config=cfg)
+        np.testing.assert_allclose(
+            np.asarray(got.image), np.asarray(ref.image), atol=3e-5
+        )
+
+        def loss(means):
+            out = render(
+                activate_cloud(cloud.replace(means=means)), cam,
+                impl="pallas", config=cfg,
+            )
+            return jnp.mean(jnp.abs(out.image - 0.4))
+
+        def loss_ref(means):
+            out = render(
+                activate_cloud(cloud.replace(means=means)), cam, impl="oracle"
+            )
+            return jnp.mean(jnp.abs(out.image - 0.4))
+
+        g = np.asarray(jax.grad(loss)(cloud.means))
+        g_ref = np.asarray(jax.grad(loss_ref)(cloud.means))
+        scale = np.abs(g_ref).max() + 1e-8
+        np.testing.assert_allclose(g / scale, g_ref / scale, atol=1e-4)
+
     def test_empty_scene(self):
         cloud, cam = scene(0, n=8)
         args = activate_cloud(cloud.replace(alive=jnp.zeros(8, bool)))
