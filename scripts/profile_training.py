@@ -94,7 +94,7 @@ def main():
     all_w2c = jnp.tile(cam.w2c[None], (args.views, 1, 1))
     all_K = jnp.tile(cam.K[None], (args.views, 1, 1))
     all_images = jnp.zeros((args.views, 3, h, w))
-    pick = np.arange(args.views, dtype=np.int32)
+    pick = jnp.arange(args.views, dtype=jnp.int32)
     enc_prev, prev_fg = s2.snapshot_previous(dense_cloud, fg_idx, neighbor_info)
 
     print(
@@ -106,7 +106,7 @@ def main():
                 opt_state2,
                 enc_prev,
                 prev_fg,
-                np.float32(1.0),
+                jnp.float32(1.0),
                 all_w2c,
                 all_K,
                 all_images,

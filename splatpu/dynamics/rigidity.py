@@ -17,6 +17,8 @@ Reference semantics (`train.py:45-54, 166-182, 220-266, 311-351`):
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from flax import struct
@@ -30,10 +32,18 @@ RIGIDITY_K = 20                       # `train.py:172`
 
 @struct.dataclass
 class NeighborInfo:
-    """`train.py:45-48`; indices index into the *foreground subset*."""
+    """`train.py:45-48`; indices index into the *foreground subset*.
 
-    indices: jax.Array  # (F, k) int32
-    weights: jax.Array  # (F, k) float32
+    `inv_order`/`inv_bounds` are the precomputed inverse routing of the
+    neighbor gather (static per graph): flat emission positions sorted by
+    target index, plus per-target segment bounds.  They let the gather's
+    gradient transpose run as gather + cumsum + boundary-diff instead of an
+    XLA scatter-add (slow on TPU)."""
+
+    indices: jax.Array     # (F, k) int32
+    weights: jax.Array     # (F, k) float32
+    inv_order: jax.Array   # (F*k,) int32 — flat positions grouped by target
+    inv_bounds: jax.Array  # (F+1,) int32 — segment bounds per target
 
 
 @struct.dataclass
@@ -46,10 +56,48 @@ class ForegroundInfo:
 
 def build_neighbor_info(foreground_means, k: int = RIGIDITY_K) -> NeighborInfo:
     idx, d2 = knn(foreground_means, k)
+    f = idx.shape[0]
+    flat = idx.reshape(-1).astype(jnp.int32)
+    order = jnp.argsort(flat).astype(jnp.int32)
+    bounds = jnp.searchsorted(
+        flat[order], jnp.arange(f + 1, dtype=jnp.int32)
+    ).astype(jnp.int32)
     return NeighborInfo(
         indices=idx,
         weights=jnp.exp(-RIGIDITY_WEIGHT_TEMPERATURE * d2),
+        inv_order=order,
+        inv_bounds=bounds,
     )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def _neighbor_gather(x, indices, inv_order, inv_bounds):
+    """x[indices] with a scatter-free gradient transpose."""
+    return x[indices]
+
+
+def _neighbor_gather_fwd(x, indices, inv_order, inv_bounds):
+    return x[indices], (indices, inv_order, inv_bounds, x.shape)
+
+
+def _neighbor_gather_bwd(res, g):
+    indices, inv_order, inv_bounds, x_shape = res
+    f, k = indices.shape
+    flat = g.reshape(f * k, -1)
+    # Segment sums per target: gather into target-grouped order, cumsum,
+    # boundary differences (empty segments produce 0).
+    grouped = flat[inv_order]
+    csum = jnp.cumsum(grouped, axis=0)
+    hi = jnp.clip(inv_bounds[1:] - 1, 0, f * k - 1)
+    lo = inv_bounds[:-1] - 1
+    hi_v = csum[hi]
+    lo_v = jnp.where((lo >= 0)[:, None], csum[jnp.clip(lo, 0, f * k - 1)], 0.0)
+    nonempty = (inv_bounds[1:] > inv_bounds[:-1])[:, None]
+    dx = jnp.where(nonempty, hi_v - lo_v, 0.0).reshape(x_shape)
+    return dx, None, None, None
+
+
+_neighbor_gather.defvjp(_neighbor_gather_fwd, _neighbor_gather_bwd)
 
 
 def foreground_info(
@@ -81,7 +129,10 @@ def rigidity_loss(
     rel = build_rotation(
         quat_mult(cur_rot, previous.inverted_rotations), eps=1e-12
     )  # (F, 3, 3): rotation from previous frame to current
-    offsets = fg_means[neighbor_info.indices] - fg_means[:, None]  # (F, k, 3)
+    offsets = _neighbor_gather(
+        fg_means, neighbor_info.indices,
+        neighbor_info.inv_order, neighbor_info.inv_bounds,
+    ) - fg_means[:, None]  # (F, k, 3)
     # R^T @ offset for each neighbor: (F, 1, 3, 3)^T x (F, k, 3)
     in_prev = jnp.einsum("fij,fki->fkj", rel, offsets)
     return weighted_l2_loss_v2(

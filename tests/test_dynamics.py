@@ -146,3 +146,38 @@ class TestRigidity:
         np.testing.assert_allclose(
             np.asarray(info.weights), np.exp(-2000 * np.asarray(d2)), rtol=1e-4
         )
+
+    def test_neighbor_gather_gradient_routing(self):
+        # The scatter-free custom_vjp must match plain-gather autodiff exactly.
+        import jax
+
+        from splatpu.dynamics import rigidity as R
+
+        rng = np.random.default_rng(6)
+        f, k = 64, 7
+        means = jnp.asarray(rng.normal(size=(f, 3)) * 0.1, jnp.float32)
+        quats = jnp.zeros((f, 4)).at[:, 0].set(1.0)
+        info = build_neighbor_info(means, k=k)
+        prev = foreground_info(means, quats, info.indices)
+
+        def loss_new(m):
+            return R.rigidity_loss(m, quats, info, prev)
+
+        def loss_plain(m):
+            cur_rot = R.quat_normalize(quats, eps=1e-12)
+            rel = R.build_rotation(
+                R.quat_mult(cur_rot, prev.inverted_rotations), eps=1e-12
+            )
+            offsets = m[info.indices] - m[:, None]
+            in_prev = jnp.einsum("fij,fki->fkj", rel, offsets)
+            return R.weighted_l2_loss_v2(
+                in_prev, prev.offsets_to_neighbors, info.weights
+            )
+
+        m2 = means + 0.01
+        np.testing.assert_allclose(
+            float(loss_new(m2)), float(loss_plain(m2)), rtol=1e-6
+        )
+        g_new = np.asarray(jax.grad(loss_new)(m2))
+        g_ref = np.asarray(jax.grad(loss_plain)(m2))
+        np.testing.assert_allclose(g_new, g_ref, rtol=1e-5, atol=1e-7)
