@@ -31,21 +31,29 @@ def _gaussian_1d(window_size: int, sigma: float) -> np.ndarray:
     return (g / g.sum()).astype(np.float32)
 
 
-def _depthwise_conv_same(img, window):
+def _blur1d(img, window: np.ndarray, axis: int):
+    """Zero-padded 'SAME' 1D blur along `axis` as k shifted scaled adds.
+
+    XLA's grouped-conv lowering on TPU is ~100x off VPU speed-of-light for
+    depthwise filters; k static slices + fused multiply-adds hit it."""
+    k = window.shape[0]
+    r = k // 2
+    pad = [(0, 0)] * img.ndim
+    pad[axis] = (r, r)
+    p = jnp.pad(img, pad)
+    out = None
+    for d in range(k):
+        term = float(window[d]) * jax.lax.slice_in_dim(
+            p, d, d + img.shape[axis], axis=axis
+        )
+        out = term if out is None else out + term
+    return out
+
+
+def _depthwise_conv_same(img, window: np.ndarray):
     """img: (B, C, H, W); separable window applied per channel, zero 'SAME'
     padding.  `window` is the 1D row; the 2D window is outer(window, window)."""
-    c = img.shape[1]
-    k = window.shape[0]
-    kern_h = jnp.broadcast_to(window.reshape(1, 1, k, 1), (c, 1, k, 1))
-    kern_w = jnp.broadcast_to(window.reshape(1, 1, 1, k), (c, 1, 1, k))
-    conv = functools.partial(
-        jax.lax.conv_general_dilated,
-        window_strides=(1, 1),
-        padding="SAME",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        feature_group_count=c,
-    )
-    return conv(conv(img, kern_h), kern_w)
+    return _blur1d(_blur1d(img, window, 2), window, 3)
 
 
 def ssim(img1, img2, window_size: int = 11, sigma: float = 1.5, size_average: bool = True):
@@ -58,7 +66,7 @@ def ssim(img1, img2, window_size: int = 11, sigma: float = 1.5, size_average: bo
     if squeeze:
         img1 = img1[None]
         img2 = img2[None]
-    window = jnp.asarray(_gaussian_1d(window_size, sigma), img1.dtype)
+    window = _gaussian_1d(window_size, sigma)  # host-side taps -> scaled adds
 
     conv = functools.partial(_depthwise_conv_same, window=window)
     mu1 = conv(img1)

@@ -60,7 +60,10 @@ class Stage2Config:
     binning: Optional[BinningConfig] = None
     quirk_compat: bool = True
     compute_dtype: str = "float32"
-    view_batching: str = "map"  # "map" = sequential renders; "vmap" = batched
+    view_batching: str = "vmap"  # "vmap" = one batched render over the sampled
+                                 # views (25% faster than "map" on v5e: batched
+                                 # sort + batched kernel grids amortize
+                                 # per-call overheads); "map" = sequential
     seed: int = 0
     # Mid-run fault tolerance (absent in the reference, SURVEY.md §5.3/§5.4).
     checkpoint_every: int = 0   # in sequence iterations; 0 = disabled
