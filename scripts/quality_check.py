@@ -25,6 +25,7 @@ def main():
     p.add_argument("--stage2-iters", type=int, default=10)
     p.add_argument("--timesteps", type=int, default=3)
     p.add_argument("--renderer", default="auto")
+    p.add_argument("--compute-dtype", default="float32")
     args = p.parse_args()
 
     from splatpu.obs.cache import enable_compilation_cache
@@ -122,6 +123,7 @@ def main():
         views_per_step=min(5, args.cameras),
         timestep_count=args.timesteps,
         renderer=args.renderer,
+        compute_dtype=args.compute_dtype,
     )
     history = []
 
