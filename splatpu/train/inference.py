@@ -103,6 +103,9 @@ def run_inference(
         return rollout_step(net_params, cloud0, enc_init, enc_prev, timestep, config)
 
     cam0 = next(iter(cameras.values()))
+    cam_names = list(cameras.keys())
+    all_w2c = jnp.stack([cameras[n].w2c for n in cam_names])
+    all_K = jnp.stack([cameras[n].K for n in cam_names])
 
     @jax.jit
     def render_view(cloud: GaussianCloud, w2c, K):
@@ -110,6 +113,25 @@ def run_inference(
         return render(
             activate_cloud(cloud), cam, impl=impl, config=config.binning
         ).image
+
+    @jax.jit
+    def render_all_views(cloud: GaussianCloud, w2cs, Ks):
+        # One batched render over the orbit cameras + one stacked host fetch
+        # per timestep (sequential per-camera renders each paid a separate
+        # dispatch + device->host round trip).
+        return jax.vmap(lambda w2c, K: render_view(cloud, w2c, K))(w2cs, Ks)
+
+    def export_views(cloud, timestep: int):
+        imgs = np.asarray(render_all_views(cloud, all_w2c, all_K))
+        for i, name in enumerate(cam_names):
+            if output_directory is not None:
+                frame = write_frame(
+                    Path(output_directory) / "frames" / name / f"{timestep:06d}.png",
+                    imgs[i],
+                )
+            else:
+                frame = to_uint8_frame(imgs[i])
+            frames[name].append(frame)
 
     frames = defaultdict(list)
     mean_losses = []
@@ -119,16 +141,7 @@ def run_inference(
         cloud, enc_prev = rollout(
             net_params, initial_cloud, encoded_initial, enc_prev, jnp.float32(timestep)
         )
-        for name, cam in cameras.items():
-            img = render_view(cloud, cam.w2c, cam.K)
-            if output_directory is not None:
-                frame = write_frame(
-                    Path(output_directory) / "frames" / name / f"{timestep:06d}.png",
-                    np.asarray(img),
-                )
-            else:
-                frame = to_uint8_frame(np.asarray(img))
-            frames[name].append(frame)
+        export_views(cloud, timestep)
         if views_by_timestep is not None:
             losses = []
             for v in views_by_timestep[timestep - 1]:
@@ -153,15 +166,15 @@ def run_inference(
                 )
 
     # Timestep-0 frame prepended per camera (`train.py:617-627`).
-    for name, cam in cameras.items():
-        img = render_view(initial_cloud, cam.w2c, cam.K)
+    imgs0 = np.asarray(render_all_views(initial_cloud, all_w2c, all_K))
+    for i, name in enumerate(cam_names):
         if output_directory is not None:
             frame = write_frame(
                 Path(output_directory) / "frames" / name / "000000.png",
-                np.asarray(img),
+                imgs0[i],
             )
         else:
-            frame = to_uint8_frame(np.asarray(img))
+            frame = to_uint8_frame(imgs0[i])
         frames[name].insert(0, frame)
         if output_directory is not None:
             write_video(
