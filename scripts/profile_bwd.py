@@ -43,7 +43,8 @@ def main():
 
     cloud = make_random_cloud(jax.random.key(0), n, extent=1.2, scale_range=(0.005, 0.02))
     cam = make_lookat_camera(eye=(0, 0, -4.0), width=w, height=h, focal=0.8 * w)
-    cfg = BinningConfig(max_span=32, max_pairs=1 << 20, chunk_pairs=G, kernel=kernel, scan=scan)
+    mp_budget = 1 << 20 if n <= 150_000 else 1 << 22
+    cfg = BinningConfig(max_span=32, max_pairs=mp_budget, chunk_pairs=G, kernel=kernel, scan=scan)
     args0 = activate_cloud(cloud)
     target = jnp.full((3, h, w), 0.3)
     tiles_x, tiles_y = tile_grid(cam)
