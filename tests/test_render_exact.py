@@ -171,3 +171,53 @@ class TestExactVsOracle:
         img = np.asarray(out.image)
         np.testing.assert_allclose(img[0], 0.4, atol=1e-6)
         np.testing.assert_allclose(np.asarray(out.final_transmittance), 1.0, atol=1e-6)
+
+
+class TestExactEdgeCases:
+    def test_non_tile_aligned_image(self):
+        # Width/height not multiples of 16: untile must crop correctly.
+        cloud, cam = scene(8, n=32, w=50, h=34)
+        args = activate_cloud(cloud)
+        ref = render(args, cam, impl="oracle")
+        got = render(args, cam, impl="pallas", config=CFG)
+        assert got.image.shape == (3, 34, 50)
+        np.testing.assert_allclose(
+            np.asarray(got.image), np.asarray(ref.image), atol=2e-5
+        )
+
+    def test_exact_budget_overflow_flag(self):
+        from splatpu.render.exact import build_exact_stream
+
+        cloud, cam = scene(9, n=64, w=64, h=48)
+        tiny = BinningConfig(max_span=64, max_pairs=128, chunk_pairs=128)
+        stream = build_exact_stream(activate_cloud(cloud), cam, tiny)
+        assert bool(stream.overflowed)
+        # Render still completes and produces finite pixels.
+        out = render(activate_cloud(cloud), cam, impl="pallas", config=tiny)
+        assert np.isfinite(np.asarray(out.image)).all()
+
+    def test_big_capacity_overflow_flag(self):
+        from splatpu.render.exact import build_exact_stream
+
+        cloud, cam = scene(10, n=48, w=64, h=48)
+        cloud = cloud.replace(log_scales=cloud.log_scales + 1.5)
+        cfg = BinningConfig(
+            max_span=256, span_small=4, big_capacity=2,
+            max_pairs=1 << 14, chunk_pairs=128,
+        )
+        stream = build_exact_stream(activate_cloud(cloud), cam, cfg)
+        assert bool(stream.overflowed)  # more than 2 big gaussians
+
+    def test_single_channel_colors(self):
+        from splatpu.core.types import RenderArgs
+
+        cloud, cam = scene(11, n=24)
+        args = activate_cloud(cloud)
+        gray = args.colors[:, :1]
+        args1 = args.replace(colors=gray)
+        ref = render(args1, cam, impl="oracle", bg=jnp.array([0.2]))
+        got = render(args1, cam, impl="pallas", bg=jnp.array([0.2]), config=CFG)
+        assert got.image.shape[0] == 1
+        np.testing.assert_allclose(
+            np.asarray(got.image), np.asarray(ref.image), atol=2e-5
+        )
