@@ -16,15 +16,6 @@ import numpy as np
 
 
 @functools.lru_cache(maxsize=8)
-def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
-    xs = np.arange(window_size)
-    g = np.exp(-((xs - window_size // 2) ** 2) / (2.0 * sigma**2))
-    g = g / g.sum()
-    w2d = np.outer(g, g).astype(np.float32)
-    return w2d
-
-
-@functools.lru_cache(maxsize=8)
 def _gaussian_1d(window_size: int, sigma: float) -> np.ndarray:
     xs = np.arange(window_size)
     g = np.exp(-((xs - window_size // 2) ** 2) / (2.0 * sigma**2))

@@ -31,11 +31,15 @@ def force_completion(out) -> float:
 
 
 def observe_completion(out) -> float:
-    """Fetch one element of ONE leaf — enough to observe completion of
-    everything enqueued before it (single-chip executions are
-    FIFO-serialized), at one tunnel round-trip (~10-20 ms) instead of one per
-    leaf.  Use inside timing loops; use `force_completion` when every leaf
-    must actually be materialized."""
+    """Block on completion of everything enqueued so far.
+
+    `block_until_ready` is the real (multi-device-correct) synchronization on
+    ordinary backends; on the axon tunnel it returns early, so ONE element of
+    ONE leaf is additionally fetched — enough there because single-chip
+    executions are FIFO-serialized — at one round-trip (~10-20 ms) instead of
+    one per leaf.  Use inside timing loops; use `force_completion` when every
+    leaf must actually be materialized."""
+    jax.block_until_ready(out)
     for leaf in jax.tree.leaves(out):
         if hasattr(leaf, "ravel") and getattr(leaf, "size", 0):
             return float(leaf.ravel()[0].astype("float32"))

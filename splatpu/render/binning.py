@@ -54,8 +54,10 @@ class BinningConfig:
                              # domain with max_span lanes.  Emission/sort work is
                              # N*span_small + big_capacity*max_span instead of
                              # N*max_span (~40% less at typical span skew).
-    big_capacity: int | None = None  # static big-Gaussian slots (None = n/16,
-                             # clamped to [1024, 65536] and n)
+    big_capacity: int | None = None  # static big-Gaussian slots; None selects
+                             # min(max(1024, n // 16), 65536), further clamped
+                             # to [1, n].  Big Gaussians beyond capacity are
+                             # dropped entirely (counted in `overflowed`).
     max_pairs: int = 2**20   # total pair budget (pre-alignment)
     chunk_pairs: int = 128   # pair-stream chunk size AND tile segment alignment
                              # (128 measured fastest for the exact grid path on v5e)

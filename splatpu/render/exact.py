@@ -93,6 +93,33 @@ def build_exact_stream(
     count = span_w * span_h
     span_overflow = jnp.any(count > max_span)
     count = jnp.minimum(count, max_span)
+
+    # Two-class split (resolved BEFORE offsets so emission slots stay dense
+    # even when the big class overflows): every Gaussian emits span_small
+    # lanes; the few covering more tiles go through a compacted static
+    # big-Gaussian domain with the full max_span lanes.  Big Gaussians beyond
+    # capacity get count=0 — dropped entirely (flagged), never leaving holes
+    # in the slot space the invert-by-sort below depends on.
+    gids = jnp.arange(n, dtype=jnp.int32)
+    span_small = min(config.span_small, max_span)
+    two_class = span_small < max_span
+    if two_class:
+        cap_b = config.big_capacity if config.big_capacity is not None else min(
+            max(1024, n // 16), 65536
+        )
+        cap_b = max(1, min(cap_b, n))
+        is_big = count > span_small
+        n_big = jnp.sum(is_big)
+        bigrank = jnp.cumsum(is_big) - is_big.astype(jnp.int32)
+        span_overflow = span_overflow | (n_big > cap_b)
+        count = jnp.where(is_big & (bigrank >= cap_b), 0, count)
+        # Dense prefix of kept big gaussian ids (one N-element sort; stable,
+        # so original order is preserved).
+        _, order = jax.lax.sort(
+            ((~is_big).astype(jnp.int32), gids), dimension=0, num_keys=1
+        )
+        big_ids = jax.lax.stop_gradient(order[:cap_b])
+
     total_pairs = jnp.sum(count)
     offsets = jnp.cumsum(count) - count
 
@@ -108,7 +135,6 @@ def build_exact_stream(
     )
 
     sentinel = jnp.uint32(0xFFFFFFFF)
-    gids = jnp.arange(n, dtype=jnp.int32)
 
     def emit(g, s_lanes, lane_valid):
         """Fused (key, val) emission for gaussians `g` x lanes `s_lanes`.
@@ -131,31 +157,15 @@ def build_exact_stream(
         val = jnp.where(ok, val, jnp.uint32(0))
         return key.reshape(-1), val.reshape(-1)
 
-    span_small = min(config.span_small, max_span)
-    if span_small < max_span:
-        # Two-class emission: every Gaussian gets span_small lanes; the few
-        # covering more tiles are compacted into a static big-Gaussian domain
-        # with the full max_span lanes.  Sort work drops from N*max_span to
-        # N*span_small + cap_b*max_span.
-        cap_b = config.big_capacity or max(1024, n // 16)
-        cap_b = min(cap_b, n)
-        is_big = count > span_small
-        n_big = jnp.sum(is_big)
-        # Dense prefix of big gaussian ids (one N-element sort; stable, so
-        # depth-independent original order is preserved).
-        _, order = jax.lax.sort(
-            ((~is_big).astype(jnp.int32), gids), dimension=0, num_keys=1
-        )
-        big_ids = jax.lax.stop_gradient(order[:cap_b])
-        span_overflow = span_overflow | (n_big > cap_b)
-
+    if two_class:
+        # Sort work drops from N*max_span to N*span_small + cap_b*max_span.
         s_a = jnp.arange(span_small, dtype=jnp.int32)[None, :]
         key_a, val_a = emit(
             gids, s_a, (s_a < count[:, None]) & (~is_big)[:, None]
         )
         s_b = jnp.arange(max_span, dtype=jnp.int32)[None, :]
         row_live = (
-            jnp.arange(cap_b, dtype=jnp.int32) < n_big
+            jnp.arange(cap_b, dtype=jnp.int32) < jnp.minimum(n_big, cap_b)
         )[:, None]
         key_b, val_b = emit(
             big_ids, s_b, (s_b < count[big_ids][:, None]) & row_live
@@ -199,7 +209,9 @@ def build_exact_stream(
     # (slot, position) puts position p at row slot — an invert-by-sort, which
     # beats an mp-sized scatter on TPU.
     p_iota = jnp.arange(mp, dtype=jnp.int32)
-    valid_p = p_iota < jnp.minimum(total_pairs, mp)
+    # A position is a real pair iff its key is not the sentinel (real keys can
+    # never be 0xFFFFFFFF: real tile ids stay below the tile-field maximum).
+    valid_p = keys_sorted != sentinel
     slot_of_p = offsets[gid_sorted] + lane_sorted
     slot_tgt = jnp.where(valid_p, slot_of_p, mp)
     slot_sorted, pos_of_slot = jax.lax.sort(
@@ -1138,6 +1150,11 @@ def composite_exact(
         raise ValueError("chunk_pairs must be a multiple of 128 for the TPU kernel")
     if config.kernel == "grid" and config.max_pairs % config.chunk_pairs != 0:
         raise ValueError("max_pairs must be a multiple of chunk_pairs (grid kernel)")
+    if config.kernel == "grid" and c > PACK - 3:
+        raise ValueError(
+            f"the grid kernel's packed output supports at most {PACK - 3} color"
+            f" channels (got {c}); use kernel='manual' for more"
+        )
 
     tiles_x, tiles_y = tile_grid(camera)
     num_tiles = tiles_x * tiles_y

@@ -221,3 +221,31 @@ class TestExactEdgeCases:
         np.testing.assert_allclose(
             np.asarray(got.image), np.asarray(ref.image), atol=2e-5
         )
+
+    def test_routing_consistent_under_big_capacity_overflow(self):
+        # Over-capacity big Gaussians must be dropped WITHOUT corrupting the
+        # emission-slot -> sorted-position map of everyone else (regression:
+        # valid_p overcounting + slot holes scrambled pos_of_slot wholesale).
+        from splatpu.render.exact import build_exact_stream
+
+        cloud, cam = scene(12, n=48, w=64, h=48)
+        cloud = cloud.replace(log_scales=cloud.log_scales + 1.5)
+        cfg = BinningConfig(
+            max_span=256, span_small=4, big_capacity=2,
+            max_pairs=1 << 14, chunk_pairs=128,
+        )
+        st = build_exact_stream(activate_cloud(cloud), cam, cfg)
+        assert bool(st.overflowed)
+        gid = np.asarray(st.gid)
+        pos_of_slot = np.asarray(st.pos_of_slot)
+        offsets = np.asarray(st.offsets)
+        counts = np.asarray(st.counts)
+        mp = cfg.max_pairs
+        checked = 0
+        for g in range(48):
+            for s in range(counts[g]):
+                p = pos_of_slot[offsets[g] + s]
+                assert p < mp, (g, s)
+                assert gid[p] == g, (g, s, p, gid[p])
+                checked += 1
+        assert checked > 0
