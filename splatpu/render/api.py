@@ -137,6 +137,7 @@ def render_dual(
                 depth=depth,
                 radii=stream.splats.radius,
                 final_transmittance=t_final,
+                overflowed=stream.overflowed,
             )
 
         return (

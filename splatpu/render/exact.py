@@ -1186,6 +1186,7 @@ def composite_exact(
         depth=untile(depth_tiles),
         radii=stream.splats.radius,
         final_transmittance=untile(tfin_tiles),
+        overflowed=stream.overflowed,
     )
 
 

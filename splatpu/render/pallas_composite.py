@@ -606,4 +606,5 @@ def composite_stream(
         depth=untile(depth_tiles),
         radii=stream.splats.radius,
         final_transmittance=untile(tfin_tiles),
+        overflowed=stream.overflowed,
     )

@@ -157,4 +157,5 @@ def render_stream(
         depth=depth,
         radii=stream.splats.radius,
         final_transmittance=t_final,
+        overflowed=stream.overflowed,
     )

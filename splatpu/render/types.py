@@ -1,6 +1,7 @@
 """Render output container shared by all renderer implementations."""
 
 import jax
+import jax.numpy as jnp
 from flax import struct
 
 
@@ -14,9 +15,14 @@ class RenderOutput:
     radii: (N,) float screen radii; 0 => culled/invisible this view.
     final_transmittance: (H, W) residual T after compositing (bg already added
         to `image`).
+    overflowed: () bool — a tiled renderer's static binning budget
+        (pair budget / span / big-capacity) was exceeded and some splats were
+        dropped this view; raise the BinningConfig budgets if it persists.
+        Always False for the oracle (no budgets).
     """
 
     image: jax.Array
     depth: jax.Array
     radii: jax.Array
     final_transmittance: jax.Array
+    overflowed: jax.Array = struct.field(default_factory=lambda: jnp.array(False))

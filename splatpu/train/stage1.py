@@ -109,6 +109,9 @@ def make_step_fns(camera_static: Camera, config: Stage1Config, scene_radius: flo
             "image_loss": img_loss,
             "segmentation_loss": seg_loss,
             "total_loss": total,
+            # Binning budget exceeded this view (splats dropped) — surfaces in
+            # the metrics stream so silent quality loss is visible.
+            "binning_overflow": out.overflowed.astype(jnp.float32),
         }
         return total, aux
 

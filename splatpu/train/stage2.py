@@ -189,14 +189,14 @@ def make_train_step(optimizer, config: Stage2Config):
                 out = render(args, cam, impl=config.renderer, config=binning)
                 l1 = jnp.mean(jnp.abs(out.image - target))
                 ssim_loss = 1.0 - ssim(out.image, target)
-                return l1, ssim_loss
+                return l1, ssim_loss, out.overflowed
 
             if config.view_batching == "vmap":
                 # One batched render: binning sorts batch-parallel, the
                 # Pallas grid gains a leading view dimension.
-                l1s, ssims = jax.vmap(render_one)((w2c, K, images))
+                l1s, ssims, overflows = jax.vmap(render_one)((w2c, K, images))
             else:
-                l1s, ssims = jax.lax.map(render_one, (w2c, K, images))
+                l1s, ssims, overflows = jax.lax.map(render_one, (w2c, K, images))
             l1_sum = jnp.sum(l1s)
             ssim_sum = jnp.sum(ssims)
             image_loss = L1_WEIGHT * l1_sum + SSIM_WEIGHT * ssim_sum
@@ -210,6 +210,7 @@ def make_train_step(optimizer, config: Stage2Config):
                 "image": image_loss,
                 "rigidity": n_views * rig,
                 "total": total,
+                "binning_overflow": jnp.max(overflows.astype(jnp.float32)),
                 "_updated": updated,
             }
             return total, aux
