@@ -146,7 +146,12 @@ def make_step_fns(camera_static: Camera, config: Stage1Config, scene_radius: flo
             for k, v in params.items()
         }
         cloud = cloud.replace(**params)
-        metrics = {k: aux[k] for k in ("image_loss", "segmentation_loss", "total_loss")}
+        metrics = {
+            k: aux[k]
+            for k in (
+                "image_loss", "segmentation_loss", "total_loss", "binning_overflow"
+            )
+        }
         metrics["n_alive"] = cloud.n_alive()
         return cloud, opt_state, stats, metrics
 
@@ -166,7 +171,12 @@ def make_step_fns(camera_static: Camera, config: Stage1Config, scene_radius: flo
             cloud,
             opt_state,
         )
-        metrics = {k: aux[k] for k in ("image_loss", "segmentation_loss", "total_loss")}
+        metrics = {
+            k: aux[k]
+            for k in (
+                "image_loss", "segmentation_loss", "total_loss", "binning_overflow"
+            )
+        }
         metrics.update({k: v for k, v in info.items()})
         return cloud, opt_state, stats, metrics
 
