@@ -60,6 +60,11 @@ class Stage2Config:
     binning: Optional[BinningConfig] = None
     quirk_compat: bool = True
     compute_dtype: str = "float32"
+    view_staging: str = "device"  # "device" (f32, reference behavior),
+                                  # "device_u8" (4x smaller HBM), or "host"
+                                  # (numpy + one-step-ahead async device_put
+                                  # of the sampled views; for sequences whose
+                                  # full view set exceeds device memory)
     view_batching: str = "vmap"  # "vmap" = one batched render over the sampled
                                  # views (25% faster than "map" on v5e: batched
                                  # sort + batched kernel grids amortize
@@ -164,6 +169,8 @@ def make_train_step(optimizer, config: Stage2Config):
         w2c = all_w2c[pick]
         K = all_K[pick]
         images = all_images[pick]
+        if images.dtype == jnp.uint8:
+            images = images.astype(jnp.float32) / 255.0
         def losses(net_params):
             updated = update_cloud_parameters(
                 net_params,
@@ -281,14 +288,30 @@ def train(
     camera_static = Camera(
         w2c=jnp.asarray(v0.w2c), K=jnp.asarray(v0.K), width=v0.width, height=v0.height
     )
-    # Device-stage all views once, pre-stacked per timestep (reference
-    # preloads everything, `train.py:207-217`); per-step view selection is a
-    # device-side gather by index.
+    # View staging (reference preloads everything to the GPU as f32,
+    # `train.py:207-217` — which cannot scale to 150 timesteps x 27 cameras
+    # at 720p on a 16 GB chip):
+    #   "device"     f32 on device (reference behavior; fastest per step)
+    #   "device_u8"  uint8 on device (4x smaller; images come from 8-bit
+    #                files, so round-tripping is exact; converted in-jit)
+    #   "host"       numpy on host; each step's sampled views are staged with
+    #                an async device_put one step AHEAD (overlaps H2D with
+    #                the previous step's compute)
+    def stage_images(views):
+        imgs = np.stack([v.image for v in views])
+        if config.view_staging == "device":
+            return jnp.asarray(imgs)
+        if config.view_staging == "device_u8":
+            return jnp.asarray(
+                np.clip(np.rint(imgs * 255.0), 0, 255).astype(np.uint8)
+            )
+        return imgs  # host
+
     staged = [
         (
             jnp.asarray(np.stack([v.w2c for v in views])),
             jnp.asarray(np.stack([v.K for v in views])),
-            jnp.asarray(np.stack([v.image for v in views])),
+            stage_images(views),
         )
         for views in views_by_timestep
     ]
@@ -313,25 +336,46 @@ def train(
         enc_prev, prev_fg = snapshot_previous(
             cloud, fg_idx, neighbor_info, config.quirk_compat
         )
+        # Without-replacement samples like `train.py:753` (clamped so small
+        # synthetic scenes with fewer cameras than views_per_step work);
+        # drawn for the whole sequence iteration up front so host staging can
+        # prefetch one step ahead.
+        n_cams = staged[0][0].shape[0]
+        v = min(config.views_per_step, n_cams)
+        picks = [
+            rng.choice(n_cams, size=v, replace=False).astype(np.int32)
+            for _ in range(t_count)
+        ]
+        host = config.view_staging == "host"
+        if host:
+            prefetched = jax.device_put(staged[0][2][picks[0]])
         for timestep in range(1, t_count + 1):
             step_idx = seq_it * t_count + timestep
             all_w2c, all_K, all_images = staged[timestep - 1]
-            # Without-replacement sample like `train.py:753`; clamped so small
-            # synthetic scenes with fewer cameras than views_per_step work.
-            n_cams = all_w2c.shape[0]
-            pick = rng.choice(
-                n_cams, size=min(config.views_per_step, n_cams), replace=False
-            )
+            pick = picks[timestep - 1]
+            if host:
+                images_arg = prefetched
+                if timestep < t_count:
+                    prefetched = jax.device_put(
+                        staged[timestep][2][picks[timestep]]
+                    )
+                pick_arg = np.arange(v, dtype=np.int32)
+                w2c_arg = all_w2c[jnp.asarray(pick)]
+                k_arg = all_K[jnp.asarray(pick)]
+            else:
+                images_arg, pick_arg, w2c_arg, k_arg = (
+                    all_images, pick, all_w2c, all_K
+                )
             net_params, opt_state, enc_prev, prev_fg, metrics = step_fn(
                 net_params,
                 opt_state,
                 enc_prev,
                 prev_fg,
                 np.float32(timestep),
-                all_w2c,
-                all_K,
-                all_images,
-                pick.astype(np.int32),
+                w2c_arg,
+                k_arg,
+                images_arg,
+                pick_arg,
                 camera_static,
                 cloud,
                 encoded_initial,

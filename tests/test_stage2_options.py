@@ -50,3 +50,43 @@ def test_vmap_matches_map():
     b = _run("vmap")
     for k in ("l1", "ssim", "total", "grad_norm"):
         np.testing.assert_allclose(float(a[k]), float(b[k]), rtol=2e-4, err_msg=k)
+
+
+def _train(view_staging):
+    from splatpu.train.stage2 import train
+    from splatpu.data.dataset import ViewData
+
+    cloud = make_random_cloud(jax.random.key(1), 40)
+    cams = ring_cameras(4)
+    h, w = cams[0].height, cams[0].width
+    rng = np.random.default_rng(0)
+    views_by_t = [
+        [
+            ViewData(
+                camera_index=i, w2c=np.asarray(c.w2c), K=np.asarray(c.K),
+                width=w, height=h,
+                image=(np.round(rng.random((3, h, w)) * 255) / 255).astype(np.float32),
+                segmentation=None,
+            )
+            for i, c in enumerate(cams)
+        ]
+        for _ in range(2)
+    ]
+    cfg = Stage2Config(
+        total_iterations=2, warmup_iterations=1, hidden_dim=32,
+        residual_blocks=1, views_per_step=3, timestep_count=2,
+        renderer="stream", binning=BIN, view_staging=view_staging,
+    )
+    _, _, _, metrics = train(cloud, views_by_t, cfg)
+    return metrics
+
+
+def test_view_staging_modes_equivalent():
+    # Targets are exact 8-bit multiples, so all three staging modes must give
+    # identical losses (same rng stream => same view picks).
+    a = _train("device")
+    b = _train("device_u8")
+    c = _train("host")
+    for k in ("l1", "total"):
+        np.testing.assert_allclose(float(a[k]), float(b[k]), rtol=1e-5, err_msg=k)
+        np.testing.assert_allclose(float(a[k]), float(c[k]), rtol=1e-6, err_msg=k)
