@@ -40,6 +40,16 @@ def main(argv=None):
     p.add_argument("--renderer", default="auto")
     p.add_argument("--wandb", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--view-staging", default="device",
+        choices=["device", "device_u8", "host"],
+        help="where the (timestep, camera) view images live during training: "
+             "device f32 (reference behavior), device uint8 (4x less HBM), "
+             "or host RAM with per-step async staging (for sequences whose "
+             "full view set exceeds device memory)",
+    )
+    p.add_argument("--compute-dtype", default="float32",
+                   choices=["float32", "bfloat16"])
     args = p.parse_args(argv)
 
     sequence_path = args.data_directory_path / args.sequence_name
@@ -64,6 +74,8 @@ def main(argv=None):
         timestep_count=t_count,
         renderer=args.renderer,
         seed=args.seed,
+        view_staging=args.view_staging,
+        compute_dtype=args.compute_dtype,
     )
     run_dir = args.output_directory_path / args.sequence_name
     run_dir.mkdir(parents=True, exist_ok=True)
