@@ -21,7 +21,9 @@ def main():
     p.add_argument("--size-h", type=int, default=720)
     p.add_argument("--views", type=int, default=5)
     p.add_argument("--renderer", default="auto")
-    p.add_argument("--view-batching", default="map")
+    p.add_argument("--view-batching", default="vmap")
+    p.add_argument("--view-staging", default="device")
+    p.add_argument("--compute-dtype", default="float32")
     p.add_argument("--skip-stage1", action="store_true")
     args = p.parse_args()
 
@@ -85,6 +87,8 @@ def main():
         timestep_count=10,
         renderer=args.renderer,
         view_batching=args.view_batching,
+        view_staging=args.view_staging,
+        compute_dtype=args.compute_dtype,
     )
     (
         dense_cloud, fg_idx, neighbor_info, enc_init,
@@ -93,7 +97,10 @@ def main():
     step2 = s2.make_train_step(optimizer, cfg2)
     all_w2c = jnp.tile(cam.w2c[None], (args.views, 1, 1))
     all_K = jnp.tile(cam.K[None], (args.views, 1, 1))
-    all_images = jnp.zeros((args.views, 3, h, w))
+    if args.view_staging == "device_u8":
+        all_images = jnp.zeros((args.views, 3, h, w), jnp.uint8)
+    else:
+        all_images = jnp.zeros((args.views, 3, h, w))
     pick = jnp.arange(args.views, dtype=jnp.int32)
     enc_prev, prev_fg = s2.snapshot_previous(dense_cloud, fg_idx, neighbor_info)
 
