@@ -15,6 +15,7 @@ import dataclasses
 import json
 from pathlib import Path
 
+from splatpu.cli.densify import add_binning_flags, binning_from_args
 from splatpu.data.dataset import load_metadata, load_timestep_views
 from splatpu.io.checkpoint import export_deformation_bundle, load_cloud
 from splatpu.obs.metrics import MetricsLogger
@@ -50,6 +51,17 @@ def main(argv=None):
     )
     p.add_argument("--compute-dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument(
+        "--mesh-cameras", type=int, default=0,
+        help="shard the sampled views over a `cameras` device mesh axis of"
+             " this many devices (shard_map renders + psum'd network grads;"
+             " 0 = single device)",
+    )
+    p.add_argument("--checkpoint-every", type=int, default=0,
+                   help="checkpoint every N sequence iterations (0 = off)")
+    p.add_argument("--checkpoint-path", type=Path, default=None)
+    p.add_argument("--resume-from", type=Path, default=None)
+    add_binning_flags(p)
     args = p.parse_args(argv)
 
     sequence_path = args.data_directory_path / args.sequence_name
@@ -73,9 +85,15 @@ def main(argv=None):
         residual_blocks=args.residual_block_count,
         timestep_count=t_count,
         renderer=args.renderer,
+        binning=binning_from_args(args),
         seed=args.seed,
         view_staging=args.view_staging,
         compute_dtype=args.compute_dtype,
+        mesh_cameras=args.mesh_cameras,
+        checkpoint_every=args.checkpoint_every,
+        checkpoint_path=(
+            str(args.checkpoint_path) if args.checkpoint_path else None
+        ),
     )
     run_dir = args.output_directory_path / args.sequence_name
     run_dir.mkdir(parents=True, exist_ok=True)
@@ -86,7 +104,8 @@ def main(argv=None):
     )
 
     net_params, dense_cloud, encoded_initial, _ = train(
-        cloud, views_by_timestep, config, logger=logger, progress=True
+        cloud, views_by_timestep, config, logger=logger, progress=True,
+        resume_from=(str(args.resume_from) if args.resume_from else None),
     )
 
     run_inference(
@@ -119,6 +138,9 @@ def main(argv=None):
         },
         dense_cloud,
     )
+    # Mirror the run directory to wandb (`export_files_to_wandb`,
+    # reference `train.py:681-684`); no-op without --wandb.
+    logger.save_run_files(run_dir)
     logger.close()
     print(f"run artifacts -> {run_dir}")
 

@@ -81,15 +81,25 @@ def get_scene_radius(metadata: SequenceMetadata) -> float:
 
 
 def load_timestep_views(
-    metadata: SequenceMetadata, timestep: int, sequence_path: Path
+    metadata: SequenceMetadata, timestep: int, sequence_path: Path,
+    camera_indices: list[int] | None = None,
 ) -> list[ViewData]:
     """`shared.py:127-171`: image -> float CHW / 255; binary seg mask ->
-    3 channels (fg, 0, bg)."""
+    3 channels (fg, 0, bg).
+
+    `camera_indices` restricts loading to a subset of cameras (per-process
+    data loading on multi-host runs, `splatpu.dist.process`); ViewData keeps
+    the global camera index either way."""
     from PIL import Image
 
     sequence_path = Path(sequence_path)
     views = []
-    for camera_index, filename in enumerate(metadata.filenames[timestep]):
+    selected = (
+        list(enumerate(metadata.filenames[timestep]))
+        if camera_indices is None
+        else [(c, metadata.filenames[timestep][c]) for c in camera_indices]
+    )
+    for camera_index, filename in selected:
         img = np.asarray(
             Image.open(sequence_path / "ims" / filename), dtype=np.float32
         )

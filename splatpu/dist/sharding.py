@@ -19,7 +19,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from splatpu.core.ssim import ssim
 from splatpu.core.types import Camera
@@ -55,26 +55,23 @@ def make_camera_sharded_image_losses(
             out = render(args, cam, impl=renderer, config=binning)
             l1 = jnp.mean(jnp.abs(out.image - target)) * weight
             s = (1.0 - ssim(out.image, target)) * weight
-            return l1, s
+            overflow = jax.lax.stop_gradient(
+                out.overflowed.astype(jnp.float32) * weight
+            )
+            return l1, s, overflow
 
-        l1s, ssims = jax.lax.map(render_one, (w2c, K, images, weights))
+        l1s, ssims, overflows = jax.lax.map(render_one, (w2c, K, images, weights))
         return (
             jax.lax.psum(jnp.sum(l1s), "cameras"),
             jax.lax.psum(jnp.sum(ssims), "cameras"),
+            jax.lax.pmax(jnp.max(overflows), "cameras"),
         )
 
     sharded = shard_map(
         local,
         mesh=mesh,
         in_specs=(P(), P("cameras"), P("cameras"), P("cameras"), P("cameras")),
-        out_specs=(P(), P()),
-        check_rep=False,
+        out_specs=(P(), P(), P()),
+        check_vma=False,
     )
     return sharded
-
-
-def camera_sharded_loss_and_grads(
-    loss_fn, mesh: Mesh, *args, **kwargs
-):
-    """Convenience: value_and_grad of a loss built on sharded image losses."""
-    return jax.value_and_grad(loss_fn, has_aux=True)(*args, **kwargs)

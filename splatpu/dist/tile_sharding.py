@@ -15,10 +15,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from splatpu.core.types import Camera, RenderArgs
-from splatpu.render.api import render
+from splatpu.render.api import render, render_dual
 from splatpu.render.binning import TILE
 
 
@@ -64,5 +64,66 @@ def make_tile_sharded_render(
         mesh=mesh,
         in_specs=(P(), P(), P()),
         out_specs=P(None, axis, None),
-        check_rep=False,
+        check_vma=False,
+    )
+
+
+def _strip_camera(camera: Camera, sh: int) -> Camera:
+    return Camera(
+        w2c=camera.w2c,
+        K=camera.K,
+        width=camera.width,
+        height=sh,
+        near=camera.near,
+        far=camera.far,
+        # Keep the FULL image's FOV for the EWA frustum clamp so strips are
+        # bit-identical with the corresponding rows of a full render.
+        fov_width=camera.fov_width or camera.width,
+        fov_height=camera.fov_height or camera.height,
+    )
+
+
+def make_tile_sharded_render_dual(
+    mesh: Mesh, camera: Camera, renderer: str = "auto", binning=None,
+    axis: str = "tiles",
+):
+    """Strip-sharded `render_dual` for the stage-1 dual (image + segmentation)
+    loss: each device bins + composites only its image strip, for BOTH
+    composites, over one shared per-strip preprocess.
+
+    Returns dual_strips(args, colors_b, w2c, K) ->
+    (image (C, H_pad, W), seg_image (C, H_pad, W), radii (N,), overflow ()):
+    images sharded over ``axis`` (caller crops rows to camera.height), radii
+    identical on every strip (the EWA radius does not depend on the principal
+    point), overflow pmax'd over strips.  Gradients to the replicated `args`
+    (including the `means2d_offset` densification collector) are psum'd over
+    strips by the shard_map transpose — the sum of per-strip screen gradients
+    IS the full-image gradient.
+    """
+    n = mesh.shape[axis]
+    sh = strip_height(camera.height, n)
+    strip_cam = _strip_camera(camera, sh)
+
+    def local(args: RenderArgs, colors_b, w2c, K):
+        row0 = jax.lax.axis_index(axis) * sh
+        K_strip = K.at[1, 2].add(-row0.astype(K.dtype))
+        cam = strip_cam.replace(w2c=w2c, K=K_strip)
+        out_a, out_b = render_dual(
+            args, colors_b, cam, impl=renderer, config=binning
+        )
+        overflow = jax.lax.pmax(
+            jax.lax.stop_gradient(
+                (out_a.overflowed | out_b.overflowed).astype(jnp.float32)
+            ),
+            axis,
+        )
+        radii = jax.lax.pmax(jax.lax.stop_gradient(out_a.radii), axis)
+        return out_a.image, out_b.image, radii, overflow
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=(P(None, axis, None), P(None, axis, None), P(), P()),
+        check_vma=False,
     )

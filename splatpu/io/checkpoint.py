@@ -87,12 +87,17 @@ def load_checkpoint(path: Path, target_pytree, backend: str = "auto"):
         import orbax.checkpoint as ocp
 
         with ocp.StandardCheckpointer() as ckptr:
-            abstract = jax.tree.map(
-                lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype)
-                if hasattr(x, "dtype")
-                else x,
-                target_pytree,
-            )
+
+            def abstract_leaf(x):
+                if not hasattr(x, "dtype"):
+                    return x
+                # Preserve the target's sharding so orbax restores each
+                # process's shards in place (multi-host/sharded arrays
+                # restore without the "sharding info not provided" fallback).
+                sharding = getattr(x, "sharding", None)
+                return jax.ShapeDtypeStruct(np.shape(x), x.dtype, sharding=sharding)
+
+            abstract = jax.tree.map(abstract_leaf, target_pytree)
             return ckptr.restore(path.resolve(), abstract)
     payload = path.read_bytes()
     return serialization.from_bytes(target_pytree, payload)

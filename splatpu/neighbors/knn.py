@@ -19,18 +19,61 @@ import jax
 import jax.numpy as jnp
 
 
-@partial(jax.jit, static_argnames=("k", "chunk"))
-def knn(points: jax.Array, k: int, chunk: int = 1024):
+# HBM budget for the (chunk, N) distance matrix of the brute-force path;
+# keeps the kNN footprint far below the render buffers at 500k+ points
+# (a fixed chunk=1024 would materialize 2 GB+ per scan step at that scale).
+_DIST_MATRIX_BUDGET_BYTES = 256 << 20
+# Above this N, host-side queries route to the native C++ KD-tree when it is
+# available: O(N log N) build + O(N k log N) queries beat the O(N^2) MXU
+# sweep on wall-clock from roughly this scale (and cost no HBM at all).
+NATIVE_THRESHOLD = 200_000
+
+
+def _auto_chunk(n: int) -> int:
+    rows = _DIST_MATRIX_BUDGET_BYTES // max(4 * n, 1)
+    return int(max(8, min(1024, (rows // 8) * 8)))
+
+
+def knn(points, k: int, chunk: int | None = None):
     """Exact self-kNN over (N, 3) points, excluding each point itself.
 
     Returns (indices, squared_distances), both (N, k), neighbors sorted by
     ascending distance — the same contract as `shared.py:45-61`.
+
+    Transparent routing (host callers only; inside a trace use
+    `knn_bruteforce` directly): concrete inputs above `NATIVE_THRESHOLD`
+    points go to the native C++ KD-tree when available; everything else uses
+    the MXU brute force with the chunk size clamped to the HBM budget.
     """
+    n = points.shape[0]
+    if chunk is None:
+        chunk = _auto_chunk(n)
+    concrete = not isinstance(points, jax.core.Tracer)
+    if concrete and n > NATIVE_THRESHOLD:
+        from splatpu.neighbors import native
+
+        if native.available():
+            import numpy as np
+
+            idx, d2 = native.knn_native(np.asarray(points), k=min(k, n - 1))
+            idx = jnp.asarray(idx)
+            d2 = jnp.asarray(d2)
+            if k > n - 1:  # pad like the device path
+                pad = k - idx.shape[1]
+                idx = jnp.pad(idx, ((0, 0), (0, pad)))
+                d2 = jnp.pad(d2, ((0, 0), (0, pad)), constant_values=jnp.inf)
+            return idx, d2
+    return knn_bruteforce(points, k=k, chunk=chunk)
+
+
+@partial(jax.jit, static_argnames=("k", "chunk"))
+def knn_bruteforce(points: jax.Array, k: int, chunk: int = 1024):
+    """Chunked MXU brute-force self-kNN (see module docstring)."""
     n = points.shape[0]
     if k > n - 1:
         # Fewer points than requested neighbors: return the n-1 real ones and
         # pad with index 0 / infinite distance (downstream weights vanish).
-        idx, d2 = knn(points, k=max(n - 1, 1), chunk=chunk)
+        idx, d2 = knn_bruteforce(points, k=max(n - 1, 1), chunk=chunk)
         pad = k - idx.shape[1]
         idx = jnp.pad(idx, ((0, 0), (0, pad)))
         d2 = jnp.pad(d2, ((0, 0), (0, pad)), constant_values=jnp.inf)

@@ -66,6 +66,31 @@ class MetricsLogger:
         if self._file:
             self._file.flush()
 
+    def log_video(self, name: str, frames, fps: int = 30, step: Optional[int] = None):
+        """wandb.Video logging (`train.py:630-636`); no-op without wandb.
+
+        `frames` is a list/array of (H, W, 3) uint8 frames."""
+        if self._wandb is None:
+            return
+        import numpy as np
+
+        # wandb.Video wants (T, C, H, W).
+        arr = np.transpose(np.stack(frames), (0, 3, 1, 2))
+        self._wandb.log(
+            {name: self._wandb.Video(arr, fps=fps, format="mp4")}, step=step
+        )
+
+    def save_run_files(self, run_dir):
+        """Mirror every file under `run_dir` to the wandb run
+        (`export_files_to_wandb`, reference `train.py:681-684`); no-op
+        without wandb."""
+        if self._wandb is None:
+            return
+        run_dir = Path(run_dir)
+        for f in sorted(run_dir.rglob("*")):
+            if f.is_file():
+                self._wandb.save(str(f), base_path=str(run_dir), policy="now")
+
     def close(self):
         self.flush()
         if self._file:

@@ -47,14 +47,21 @@ def observe_completion(out) -> float:
 
 
 def time_fn(
-    fn: Callable, *args, warmup: int = 2, iters: int = 10, args_fn=None
+    fn: Callable, *args, warmup: int = 2, iters: int = 10, args_fn=None,
+    batches: int = 2,
 ) -> dict:
-    """Returns {'mean_ms', 'best_ms', 'iters'} for fn(*args) with true
-    host-observed completion between measurements.
+    """Returns {'mean_ms', 'spread_ms', 'iters'} for fn(*args) with true
+    host-observed completion per measurement batch.
 
     Pass ``args_fn(i) -> tuple`` to give every iteration distinct inputs —
     the axon tunnel memoizes executions on identical inputs, so repeated
     identical launches measure the cache, not the TPU.
+
+    Per-iteration times are unobservable through the tunnel (only a host
+    fetch synchronizes, and one fetch costs ~10-20 ms), so iterations are
+    split into ``batches`` throughput batches with one fetch each;
+    ``spread_ms`` = max - min of the per-batch means quantifies run-to-run
+    variance honestly (a `best_ms` statistic cannot be measured here).
     """
     get = args_fn if args_fn is not None else (lambda i: args)
     # Materialize every iteration's inputs BEFORE the clock starts: even a
@@ -66,19 +73,26 @@ def time_fn(
     warm_inputs, inputs = all_inputs[: warmup + 1], all_inputs[warmup + 1 :]
     for a in warm_inputs:
         force_completion(fn(*a))
-    # Throughput measurement: enqueue `iters` distinct executions and observe
-    # completion once at the end.  Executions on a single chip are
-    # FIFO-serialized, so elapsed/iters is the true per-call cost with only
-    # one fetch round-trip (~tens of ms through the tunnel) amortized away.
-    t0 = time.perf_counter()
-    out = None
-    for a in inputs:
-        out = fn(*a)
-    observe_completion(out)
-    elapsed_ms = (time.perf_counter() - t0) * 1000.0
+    # Throughput measurement: enqueue each batch's distinct executions and
+    # observe completion once per batch.  Executions on a single chip are
+    # FIFO-serialized, so elapsed/iters is the true per-call cost with the
+    # fetch round-trip (~tens of ms through the tunnel) amortized away.
+    batches = max(1, min(batches, iters))
+    per = [0] * batches
+    for i in range(iters):
+        per[i % batches] += 1
+    batch_ms = []
+    it = iter(inputs)
+    for count in per:
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(count):
+            out = fn(*next(it))
+        observe_completion(out)
+        batch_ms.append((time.perf_counter() - t0) * 1000.0 / count)
     return {
-        "mean_ms": elapsed_ms / iters,
-        "best_ms": elapsed_ms / iters,
+        "mean_ms": sum(m * c for m, c in zip(batch_ms, per)) / iters,
+        "spread_ms": max(batch_ms) - min(batch_ms),
         "iters": iters,
     }
 

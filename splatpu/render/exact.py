@@ -176,8 +176,13 @@ def build_exact_stream(
         s = jnp.arange(max_span, dtype=jnp.int32)[None, :]
         key_flat, val_flat = emit(gids, s, s < count[:, None])
 
+    # num_keys=2: the value word (gid << lane_bits | lane) is a secondary sort
+    # key, so pairs with equal (tile, quantized-depth) keys composite in global
+    # gaussian-index order — matching the reference radix sort's stable tie
+    # order even across the two-class emission split (class-B big Gaussians
+    # would otherwise all sort after class-A smalls on key ties).
     keys_all, vals_all = jax.lax.sort(
-        (key_flat, val_flat), dimension=0, num_keys=1
+        (key_flat, val_flat), dimension=0, num_keys=2
     )
     # All <= mp valid keys sort before the 0xFFFFFFFF sentinels, so the first
     # mp positions contain every kept pair.  Pad for tiny emission domains.
@@ -1154,6 +1159,15 @@ def composite_exact(
         raise ValueError(
             f"the grid kernel's packed output supports at most {PACK - 3} color"
             f" channels (got {c}); use kernel='manual' for more"
+        )
+    if config.kernel == "grid" and config.max_pairs > 1 << 24:
+        # The grid kernel stores last-contributor pair positions as f32 (lane
+        # C+2) and compares them in the backward walk; positions >= 2^24 are
+        # not exactly representable and would silently corrupt in_prefix
+        # masking and gradients.
+        raise ValueError(
+            "kernel='grid' supports max_pairs <= 2^24 (f32-exact pair"
+            f" positions); got {config.max_pairs}. Use kernel='manual'."
         )
 
     tiles_x, tiles_y = tile_grid(camera)

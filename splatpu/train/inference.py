@@ -121,6 +121,36 @@ def run_inference(
         # dispatch + device->host round trip).
         return jax.vmap(lambda w2c, K: render_view(cloud, w2c, K))(w2cs, Ks)
 
+    # Per-timestep evaluation vs the REAL views (`train.py:598-613`): one
+    # batched render over all cameras of the timestep and ONE scalar fetch,
+    # instead of the reference's eager per-view render + `.item()` loop
+    # (27 cams x 150 timesteps of tunnel round-trips would dominate
+    # inference wall-clock on TPU).
+    eval_camera_static = None
+    if views_by_timestep is not None:
+        v0 = views_by_timestep[0][0]
+        eval_camera_static = Camera(
+            w2c=jnp.asarray(v0.w2c), K=jnp.asarray(v0.K),
+            width=v0.width, height=v0.height,
+        )
+
+    @jax.jit
+    def batched_mean_image_loss(cloud: GaussianCloud, w2cs, Ks, targets):
+        def one(w2c, K, target):
+            cam = eval_camera_static.replace(w2c=w2c, K=K)
+            out = render(
+                activate_cloud(cloud), cam, impl=impl, config=config.binning
+            )
+            return image_loss(out.image, target)
+
+        return jnp.mean(jax.vmap(one)(w2cs, Ks, targets))
+
+    def eval_mean_image_loss(cloud, views):
+        w2cs = jnp.asarray(np.stack([v.w2c for v in views]))
+        Ks = jnp.asarray(np.stack([v.K for v in views]))
+        targets = jnp.asarray(np.stack([v.image for v in views]))
+        return batched_mean_image_loss(cloud, w2cs, Ks, targets)
+
     def export_views(cloud, timestep: int):
         imgs = np.asarray(render_all_views(cloud, all_w2c, all_K))
         for i, name in enumerate(cam_names):
@@ -143,22 +173,9 @@ def run_inference(
         )
         export_views(cloud, timestep)
         if views_by_timestep is not None:
-            losses = []
-            for v in views_by_timestep[timestep - 1]:
-                cam = next(iter(cameras.values())).replace(
-                    w2c=jnp.asarray(v.w2c), K=jnp.asarray(v.K)
-                )
-                # Real views may have a different resolution than the orbit
-                # cameras; rebuild with their static size.
-                cam = Camera(
-                    w2c=jnp.asarray(v.w2c),
-                    K=jnp.asarray(v.K),
-                    width=v.width,
-                    height=v.height,
-                )
-                out = render(activate_cloud(cloud), cam, impl=impl, config=config.binning)
-                losses.append(float(image_loss(out.image, jnp.asarray(v.image))))
-            mean_losses.append(float(np.mean(losses)))
+            mean_losses.append(
+                float(eval_mean_image_loss(cloud, views_by_timestep[timestep - 1]))
+            )
             if logger is not None:
                 logger.log(
                     {"mean-image-loss": mean_losses[-1]},
@@ -180,6 +197,10 @@ def run_inference(
             write_video(
                 Path(output_directory) / f"{name}.mp4", frames[name], fps=fps
             )
+        if logger is not None:
+            # wandb.Video per orbit camera (`train.py:630-636`); no-op
+            # without an active wandb run.
+            logger.log_video(f"{name}-video", frames[name], fps=fps)
     if logger is not None:
         logger.flush()
     return dict(frames), mean_losses

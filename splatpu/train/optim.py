@@ -84,3 +84,19 @@ def make_stage2_optimizer(
     return optax.adam(
         learning_rate=warmup_cosine_schedule(learning_rate, warmup_steps, total_steps)
     )
+
+
+def stage2_lr_at(
+    base_lr: float, warmup_steps: int, total_steps: int, step: int
+) -> float:
+    """Host-side float of `warmup_cosine_schedule` at an update count, for
+    per-step lr logging (the reference logs the scheduler lr every step,
+    `train.py:758`) without touching the device."""
+    import math
+
+    start_factor = 1.0 / 1000.0
+    t_max = max(total_steps - warmup_steps, 1)
+    w = max(warmup_steps, 1)
+    if step < warmup_steps:
+        return base_lr * (start_factor + (1.0 - start_factor) * min(step, w) / w)
+    return base_lr * 0.5 * (1.0 + math.cos(math.pi * (step - warmup_steps) / t_max))

@@ -51,6 +51,19 @@ class Stage1Config:
     densify: DensifyConfig = DensifyConfig()
     renderer: str = "auto"
     binning: Optional[BinningConfig] = None
+    mesh_tiles: int = 0   # > 0: shard each render into this many image strips
+                          # over a `tiles` mesh axis (stage 1 renders ONE
+                          # camera per iteration, so tiles are the axis that
+                          # parallelizes; splatpu.dist.tile_sharding).
+    # Pair-budget overflow handling: the binning pair budget is static
+    # (shape-defining).  When a step reports `binning_overflow`, the budget is
+    # doubled and the step functions are rebuilt (one recompile) — an
+    # overflowing scene trains without code edits instead of silently
+    # dropping splats.  Checked every `overflow_check_every` iterations (each
+    # check is one scalar fetch).
+    grow_budget_on_overflow: bool = True
+    overflow_check_every: int = 100
+    max_budget_growths: int = 4
     seed: int = 0
     # Mid-run fault tolerance (absent in the reference, SURVEY.md §5.3/§5.4):
     # every N iterations the full (cloud, optimizer, stats, rng, i) state is
@@ -87,6 +100,16 @@ def make_step_fns(camera_static: Camera, config: Stage1Config, scene_radius: flo
     lrs = stage1_learning_rates(scene_radius)
     adam = make_stage1_adam()
 
+    sharded_dual = None
+    if config.mesh_tiles > 0:
+        from splatpu.dist.mesh import get_mesh
+        from splatpu.dist.tile_sharding import make_tile_sharded_render_dual
+
+        mesh = get_mesh(camera_axis=1, tile_axis=config.mesh_tiles)
+        sharded_dual = make_tile_sharded_render_dual(
+            mesh, camera_static, renderer=config.renderer, binning=binning
+        )
+
     def loss_fn(params, offset, alive, w2c, K, image, seg_target):
         cloud = GaussianCloud(alive=alive, **params)
         camera = camera_static.replace(w2c=w2c, K=K)
@@ -94,24 +117,33 @@ def make_step_fns(camera_static: Camera, config: Stage1Config, scene_radius: flo
         # One shared preprocess+binning, two composites (image + segmentation);
         # only the image pass feeds the densification gradient collector
         # (`densify.py:130-132`).
-        out, seg_out = render_dual(
-            args,
-            cloud.segmentation_masks,
-            camera,
-            impl=config.renderer,
-            config=binning,
-        )
-        img_loss = image_loss(out.image, image)
-        seg_loss = image_loss(seg_out.image, seg_target)
+        if sharded_dual is not None:
+            img_a, img_b, radii, overflow = sharded_dual(
+                args, cloud.segmentation_masks, w2c, K
+            )
+            h, w = camera_static.height, camera_static.width
+            img_a, img_b = img_a[:, :h, :w], img_b[:, :h, :w]
+        else:
+            out, seg_out = render_dual(
+                args,
+                cloud.segmentation_masks,
+                camera,
+                impl=config.renderer,
+                config=binning,
+            )
+            img_a, img_b, radii = out.image, seg_out.image, out.radii
+            overflow = (out.overflowed | seg_out.overflowed).astype(jnp.float32)
+        img_loss = image_loss(img_a, image)
+        seg_loss = image_loss(img_b, seg_target)
         total = img_loss + SEGMENTATION_WEIGHT * seg_loss
         aux = {
-            "radii": out.radii,
+            "radii": radii,
             "image_loss": img_loss,
             "segmentation_loss": seg_loss,
             "total_loss": total,
             # Binning budget exceeded this view (splats dropped) — surfaces in
             # the metrics stream so silent quality loss is visible.
-            "binning_overflow": out.overflowed.astype(jnp.float32),
+            "binning_overflow": overflow,
         }
         return total, aux
 
@@ -251,10 +283,36 @@ def fit(
 
         iterator = tqdm.tqdm(iterator, desc="stage1", initial=start_iter)
     metrics = {}
+    growths = 0
     for i in iterator:
         if not buffer:
             buffer = list(rng.permutation(len(dev_views)))
         w2c, K, image, seg = dev_views[buffer.pop()]
+        if (
+            config.grow_budget_on_overflow
+            and growths < config.max_budget_growths
+            and i > start_iter
+            and i % config.overflow_check_every == 0
+            and float(metrics.get("binning_overflow", 0.0)) > 0.0
+        ):
+            from splatpu.render.api import default_config as _default_config
+
+            binning = config.binning or _default_config(capacity)
+            grown = dataclasses.replace(
+                binning,
+                max_pairs=min(binning.max_pairs * 2, 1 << 24),
+                max_span=binning.max_span * 2,
+            )
+            config = dataclasses.replace(config, binning=grown)
+            train_step, mutate_step, adam = make_step_fns(
+                camera_static, config, scene_radius
+            )
+            growths += 1
+            if logger is not None:
+                logger.log(
+                    {"budget_growth": growths, "max_pairs": grown.max_pairs},
+                    step=i,
+                )
         if dcfg.is_mutation_iter(i):
             key, sub = jax.random.split(key)
             cloud, opt_state, stats, metrics = mutate_step(

@@ -42,7 +42,7 @@ from splatpu.render.api import default_config, render
 from splatpu.render.binning import BinningConfig
 from splatpu.core.ssim import ssim
 from splatpu.train.losses import L1_WEIGHT, RIGIDITY_WEIGHT, SSIM_WEIGHT
-from splatpu.train.optim import make_stage2_optimizer
+from splatpu.train.optim import make_stage2_optimizer, stage2_lr_at
 
 
 @dataclasses.dataclass(frozen=True)
@@ -69,6 +69,10 @@ class Stage2Config:
                                  # views (25% faster than "map" on v5e: batched
                                  # sort + batched kernel grids amortize
                                  # per-call overheads); "map" = sequential
+    mesh_cameras: int = 0        # > 0: shard the sampled views over a
+                                 # `cameras` mesh axis of this many devices
+                                 # (shard_map render + psum'd grads,
+                                 # splatpu.dist); 0 = single-device.
     seed: int = 0
     # Mid-run fault tolerance (absent in the reference, SURVEY.md §5.3/§5.4).
     checkpoint_every: int = 0   # in sequence iterations; 0 = disabled
@@ -282,12 +286,23 @@ def train(
         optimizer,
         opt_state,
     ) = setup(initial_cloud, config)
-    step_fn = make_train_step(optimizer, config)
 
     v0 = views_by_timestep[0][0]
     camera_static = Camera(
         w2c=jnp.asarray(v0.w2c), K=jnp.asarray(v0.K), width=v0.width, height=v0.height
     )
+    # Distributed option (new vs the single-GPU reference, `train.py:702`):
+    # shard the sampled views over a `cameras` mesh axis; the deformation
+    # network stays replicated and its grads arrive psum'd.
+    distributed = config.mesh_cameras > 0
+    if distributed:
+        from splatpu.dist.mesh import get_mesh
+        from splatpu.dist.train_step import make_sharded_train_step
+
+        mesh = get_mesh(camera_axis=config.mesh_cameras, tile_axis=1)
+        step_fn = make_sharded_train_step(optimizer, config, mesh, camera_static)
+    else:
+        step_fn = make_train_step(optimizer, config)
     # View staging (reference preloads everything to the GPU as f32,
     # `train.py:207-217` — which cannot scale to 150 timesteps x 27 cameras
     # at 720p on a 16 GB chip):
@@ -339,16 +354,22 @@ def train(
         # Without-replacement samples like `train.py:753` (clamped so small
         # synthetic scenes with fewer cameras than views_per_step work);
         # drawn for the whole sequence iteration up front so host staging can
-        # prefetch one step ahead.
-        n_cams = staged[0][0].shape[0]
-        v = min(config.views_per_step, n_cams)
+        # prefetch one step ahead.  Each timestep samples from ITS own camera
+        # count (timesteps may have unequal counts, e.g. dropped frames); the
+        # sample size is the minimum count so every step renders V views.
+        v = min(config.views_per_step, min(s[0].shape[0] for s in staged))
         picks = [
-            rng.choice(n_cams, size=v, replace=False).astype(np.int32)
-            for _ in range(t_count)
+            rng.choice(staged[t][0].shape[0], size=v, replace=False).astype(np.int32)
+            for t in range(t_count)
         ]
         host = config.view_staging == "host"
         if host:
             prefetched = jax.device_put(staged[0][2][picks[0]])
+        # Padded sample size + weights for the camera-sharded step (the view
+        # sample rarely divides a TPU mesh axis; padding views carry weight 0).
+        if distributed:
+            pad = (-v) % config.mesh_cameras
+            weights = jnp.concatenate([jnp.ones((v,)), jnp.zeros((pad,))])
         for timestep in range(1, t_count + 1):
             step_idx = seq_it * t_count + timestep
             all_w2c, all_K, all_images = staged[timestep - 1]
@@ -366,6 +387,13 @@ def train(
                 images_arg, pick_arg, w2c_arg, k_arg = (
                     all_images, pick, all_w2c, all_K
                 )
+            if distributed:
+                pick_arg = np.concatenate(
+                    [pick_arg, np.repeat(pick_arg[:1], pad)]
+                ).astype(np.int32)
+                extra = (pick_arg, weights)
+            else:
+                extra = (pick_arg, camera_static)
             net_params, opt_state, enc_prev, prev_fg, metrics = step_fn(
                 net_params,
                 opt_state,
@@ -375,14 +403,25 @@ def train(
                 w2c_arg,
                 k_arg,
                 images_arg,
-                pick_arg,
-                camera_static,
+                *extra,
                 cloud,
                 encoded_initial,
                 fg_idx,
                 neighbor_info,
             )
             if logger is not None:
+                # Per-step learning rate (`train.py:758`); computed host-side
+                # from the schedule — the optimizer has already consumed
+                # (step_idx - 1) updates when this step's update applies.
+                metrics = dict(
+                    metrics,
+                    learning_rate=stage2_lr_at(
+                        config.learning_rate,
+                        config.warmup_iterations * t_count,
+                        config.total_iterations * t_count,
+                        step_idx - 1,
+                    ),
+                )
                 logger.log(metrics, step=step_idx)
         if (
             config.checkpoint_every
