@@ -1,0 +1,311 @@
+"""Full-scale acceptance runs (BASELINE configs 2 and 3) on synthetic ground
+truth — the environment has no CMU-Panoptic data or egress, so a procedurally
+generated scene at the REAL workload shape stands in (same resolution, camera
+count, iteration schedule; reference workload definitions:
+`/root/reference/densify.py:218`, `/root/reference/train.py:728-741`).
+
+Stage 1 (config 2 shape): fit 100k+ Gaussians from a degraded init over 27
+cameras at 1280x720 through the full 30k-iteration densification schedule.
+
+Stage 2 (config 3 shape): 150-timestep rollout with the rigidity regularizer
+trained to convergence (loss plateau), on host-staged uint8 views (the full
+view set at this shape is ~11 GB — exceeds HBM, exercising the host staging
+path the reference lacks).
+
+Usage:
+    python scripts/acceptance_full.py stage1 [--iters 30000] [--out PATH]
+    python scripts/acceptance_full.py stage2 [--timesteps 150] [--iters 60]
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+WIDTH, HEIGHT = 1280, 720
+CAMERAS = 27
+TRUTH_N = 120_000  # overridable via --width/--height/--cameras/--truth-n
+
+
+def build_truth_and_cams(jax, np):
+    from splatpu.data.synthetic import make_lookat_camera, make_random_cloud
+
+    truth = make_random_cloud(
+        jax.random.key(0), TRUTH_N, extent=1.0, scale_range=(0.004, 0.02)
+    )
+    rng = np.random.default_rng(1)
+    cams = []
+    for i in range(CAMERAS):
+        a = 2 * np.pi * i / CAMERAS
+        eye = (
+            4.0 * np.sin(a),
+            0.4 + 0.6 * rng.standard_normal(),
+            -4.0 * np.cos(a),
+        )
+        cams.append(
+            make_lookat_camera(
+                eye=eye, width=WIDTH, height=HEIGHT, focal=0.8 * WIDTH
+            )
+        )
+    return truth, cams
+
+
+class ViewLike:
+    pass
+
+
+def render_views(jax, np, cloud, cams, uint8=False, with_seg=True):
+    """Ground-truth views: one batched render + one stacked fetch."""
+    import jax.numpy as jnp
+
+    from splatpu.core.types import activate_cloud
+    from splatpu.render.api import render
+
+    @jax.jit
+    def batch(args, w2cs, Ks):
+        def one(w2c, K):
+            cam = cams[0].replace(w2c=w2c, K=K)
+            return render(args, cam).image
+
+        return jax.vmap(one)(w2cs, Ks)
+
+    margs = activate_cloud(cloud)
+    w2cs = jnp.stack([c.w2c for c in cams])
+    Ks = jnp.stack([c.K for c in cams])
+    imgs = np.asarray(batch(margs, w2cs, Ks))
+    # Segmentation targets are a stage-1 input only; at 150 timesteps x 27
+    # cams the f32 masks would cost 44 GB of host RAM for nothing.
+    segs = (
+        np.asarray(batch(margs.replace(colors=cloud.segmentation_masks), w2cs, Ks))
+        if with_seg
+        else None
+    )
+    views = []
+    for i, cam in enumerate(cams):
+        v = ViewLike()
+        v.camera_index = i
+        v.w2c, v.K = np.asarray(cam.w2c), np.asarray(cam.K)
+        v.width, v.height = WIDTH, HEIGHT
+        img = np.clip(imgs[i], 0.0, 1.0)
+        if uint8:
+            v.image = np.rint(img * 255.0).astype(np.uint8)
+        else:
+            v.image = img.astype(np.float32)
+        if segs is not None:
+            v.segmentation = segs[i].astype(np.float32)
+        views.append(v)
+    return views
+
+
+def run_stage1(args):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from splatpu.core.types import activate_cloud
+    from splatpu.io.checkpoint import save_cloud
+    from splatpu.obs.metrics import MetricsLogger
+    from splatpu.obs.quality import psnr
+    from splatpu.render.api import render
+    from splatpu.train.stage1 import Stage1Config, fit
+
+    t0 = time.time()
+    truth, cams = build_truth_and_cams(jax, np)
+    views = render_views(jax, np, truth, cams)
+    print(f"[{time.time()-t0:.0f}s] ground truth rendered ({CAMERAS} cams @ {WIDTH}x{HEIGHT})")
+
+    pc = np.concatenate(
+        [
+            np.asarray(truth.means),
+            np.clip(np.asarray(truth.colors), 0.0, 1.0),
+            (np.asarray(truth.segmentation_masks)[:, :1] > 0.5).astype(np.float32),
+        ],
+        axis=1,
+    )
+    keep = np.random.default_rng(0).choice(len(pc), size=len(pc) // 3, replace=False)
+    pc = pc[keep]
+    print(f"init points: {len(pc)} (densification must ~3x the cloud)")
+
+    out_dir = Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    logger = MetricsLogger(jsonl_path=out_dir / "stage1_metrics.jsonl")
+    cfg = Stage1Config(
+        iterations=args.iters,
+        capacity_factor=6.0,
+        checkpoint_every=5000,
+        checkpoint_path=str(out_dir / "stage1_ckpt.msgpack"),
+    )
+    cloud, metrics = fit(pc, views, scene_radius=4.4, config=cfg, logger=logger, progress=True)
+    dt = time.time() - t0
+    print(f"[{dt:.0f}s] stage1 done; alive={int(cloud.n_alive())}")
+
+    render_jit = jax.jit(lambda a, w2c, K: render(a, cams[0].replace(w2c=w2c, K=K)).image)
+    margs = activate_cloud(cloud)
+    ps = [
+        float(psnr(render_jit(margs, jnp.asarray(v.w2c), jnp.asarray(v.K)),
+                   jnp.asarray(v.image)))
+        for v in views[:5]
+    ]
+    result = {
+        "config": "BASELINE config 2 shape (synthetic)",
+        "gaussians_final": int(cloud.n_alive()),
+        "iterations": args.iters,
+        "cameras": CAMERAS,
+        "resolution": f"{WIDTH}x{HEIGHT}",
+        "psnr_first5_views": ps,
+        "psnr_mean": float(np.mean(ps)),
+        "wall_seconds": dt,
+    }
+    save_cloud(out_dir / "densified_cloud.npz", cloud)
+    (out_dir / "stage1_result.json").write_text(json.dumps(result, indent=2))
+    logger.close()
+    print(json.dumps(result, indent=2))
+
+
+def run_stage2(args):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from splatpu.core.types import activate_cloud
+    from splatpu.io.checkpoint import load_cloud
+    from splatpu.obs.metrics import MetricsLogger
+    from splatpu.obs.quality import psnr
+    from splatpu.render.api import render
+    from splatpu.train.stage2 import Stage2Config, rollout_step, train
+
+    t0 = time.time()
+    truth, cams = build_truth_and_cams(jax, np)
+
+    out_dir = Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    cloud_path = Path(args.cloud) if args.cloud else out_dir / "densified_cloud.npz"
+    if cloud_path.exists():
+        initial = load_cloud(cloud_path)
+        print(f"loaded stage-1 cloud: {cloud_path}")
+    else:
+        initial = truth  # fall back: animate the ground-truth static cloud
+        print("no stage-1 cloud found; animating the ground-truth cloud")
+
+    # 'Juggle'-like motion: a foreground blob orbits + bobs while the
+    # background stays static (rigidity acts on the foreground graph).
+    fg = np.asarray(truth.segmentation_masks)[:, 0] > 0.5
+    base = np.asarray(truth.means)
+    center = base[fg].mean(0, keepdims=True)
+
+    def moved_cloud(t):
+        phase = 2 * np.pi * t / 50.0  # one orbit per 50 timesteps
+        rot = np.array(
+            [
+                [np.cos(0.01 * t), 0, -np.sin(0.01 * t)],
+                [0, 1, 0],
+                [np.sin(0.01 * t), 0, np.cos(0.01 * t)],
+            ],
+            np.float32,
+        )
+        m = base.copy()
+        m[fg] = (base[fg] - center) @ rot.T + center
+        m[fg, 1] += 0.15 * np.sin(phase)
+        return truth.replace(means=jnp.asarray(m))
+
+    print(f"[{time.time()-t0:.0f}s] rendering {args.timesteps} timesteps x {CAMERAS} cams (uint8 host staging)")
+    views_by_timestep = []
+    for t in range(1, args.timesteps + 1):
+        views_by_timestep.append(
+            render_views(jax, np, moved_cloud(t), cams, uint8=True, with_seg=False)
+        )
+        if t % 25 == 0:
+            print(f"  [{time.time()-t0:.0f}s] {t}/{args.timesteps}")
+
+    logger = MetricsLogger(jsonl_path=out_dir / "stage2_metrics.jsonl")
+    cfg = Stage2Config(
+        total_iterations=args.iters,
+        warmup_iterations=max(1, args.iters // 10),
+        learning_rate=1e-3,
+        hidden_dim=128,
+        residual_blocks=3,
+        timestep_count=args.timesteps,
+        view_staging="host",
+        checkpoint_every=5,
+        checkpoint_path=str(out_dir / "stage2_ckpt.msgpack"),
+    )
+    net_params, dense_cloud, enc_init, _ = train(
+        initial, views_by_timestep, cfg, logger=logger, progress=True
+    )
+    dt = time.time() - t0
+    print(f"[{dt:.0f}s] stage2 done")
+
+    # Rollout PSNR vs ground truth at several timesteps.
+    render_jit = jax.jit(
+        lambda a, w2c, K: render(a, cams[0].replace(w2c=w2c, K=K)).image
+    )
+    roll = jax.jit(
+        lambda npar, c0, ei, ep, ts: rollout_step(npar, c0, ei, ep, ts, cfg)
+    )
+    enc_prev = enc_init
+    psnrs = {}
+    for t in range(1, args.timesteps + 1):
+        rolled, enc_prev = roll(
+            net_params, dense_cloud, enc_init, enc_prev, jnp.float32(t)
+        )
+        if t in (1, args.timesteps // 2, args.timesteps):
+            v = views_by_timestep[t - 1][0]
+            img = render_jit(
+                activate_cloud(rolled), jnp.asarray(v.w2c), jnp.asarray(v.K)
+            )
+            target = jnp.asarray(v.image.astype(np.float32) / 255.0)
+            psnrs[f"t{t}"] = float(psnr(img, target))
+
+    rows = [json.loads(l) for l in (out_dir / "stage2_metrics.jsonl").open()]
+    k = args.timesteps
+    result = {
+        "config": "BASELINE config 3 shape (synthetic juggle-like)",
+        "timesteps": args.timesteps,
+        "sequence_iterations": args.iters,
+        "total_steps": args.iters * args.timesteps,
+        "loss_first_seqit": float(np.mean([r["total"] for r in rows[:k]])),
+        "loss_last_seqit": float(np.mean([r["total"] for r in rows[-k:]])),
+        "rollout_psnr": psnrs,
+        "wall_seconds": dt,
+    }
+    (out_dir / "stage2_result.json").write_text(json.dumps(result, indent=2))
+    logger.close()
+    print(json.dumps(result, indent=2))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("stage", choices=["stage1", "stage2"])
+    p.add_argument("--iters", type=int, default=None)
+    p.add_argument("--timesteps", type=int, default=150)
+    p.add_argument("--out", default="/tmp/acceptance")
+    p.add_argument("--cloud", default=None)
+    p.add_argument("--width", type=int, default=None)
+    p.add_argument("--height", type=int, default=None)
+    p.add_argument("--cameras", type=int, default=None)
+    p.add_argument("--truth-n", type=int, default=None)
+    args = p.parse_args()
+
+    global WIDTH, HEIGHT, CAMERAS, TRUTH_N
+    WIDTH = args.width or WIDTH
+    HEIGHT = args.height or HEIGHT
+    CAMERAS = args.cameras or CAMERAS
+    TRUTH_N = args.truth_n or TRUTH_N
+
+    from splatpu.obs.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    if args.stage == "stage1":
+        args.iters = args.iters or 30_000
+        run_stage1(args)
+    else:
+        args.iters = args.iters or 60
+        run_stage2(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -4,7 +4,7 @@ Through the axon tunnel, jit OUTPUTS cost ~5 ms/MB (transfer), so each stage
 is measured as a jitted function reduced to a scalar.  Stage deltas give the
 incremental cost.
 
-Usage: python scripts/profile_exact.py [n] [w] [h] [max_span] [log2_pairs]
+Usage: python scripts/profile_exact.py [n] [w] [h] [max_span] [pairs] [tile] [G]
 """
 
 import sys
@@ -33,11 +33,13 @@ def main():
     w = int(sys.argv[2]) if len(sys.argv) > 2 else 1280
     h = int(sys.argv[3]) if len(sys.argv) > 3 else 720
     span = int(sys.argv[4]) if len(sys.argv) > 4 else 32
-    lp = int(sys.argv[5]) if len(sys.argv) > 5 else 20
+    pairs = int(sys.argv[5]) if len(sys.argv) > 5 else 1 << 20
+    tile = int(sys.argv[6]) if len(sys.argv) > 6 else 16
+    g = int(sys.argv[7]) if len(sys.argv) > 7 else 256
 
     cloud = make_random_cloud(jax.random.key(0), n, extent=1.2, scale_range=(0.005, 0.02))
     cam = make_lookat_camera(eye=(0, 0, -4.0), width=w, height=h, focal=0.8 * w)
-    cfg = BinningConfig(max_span=span, max_pairs=1 << lp, chunk_pairs=256)
+    cfg = BinningConfig(max_span=span, max_pairs=pairs, chunk_pairs=g, tile=tile)
     args0 = activate_cloud(cloud)
     target = jnp.full((3, h, w), 0.3)
 

@@ -1,0 +1,92 @@
+"""Sweep tile size / chunk size / budget for the exact path on real TPU.
+
+The TILE=32 experiment (round-1 roadmap): quartered tile count, roughly
+halved pair budget, 4x per-pair VPU work.  Usage:
+
+    python scripts/sweep_tile.py [n] [w] [h]
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+
+from splatpu.obs.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+from splatpu.core.types import activate_cloud
+from splatpu.data.synthetic import make_lookat_camera, make_random_cloud
+from splatpu.obs.profiling import time_fn
+from splatpu.render.api import render
+from splatpu.render.binning import BinningConfig
+from splatpu.render.exact import build_exact_stream
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    w = int(sys.argv[2]) if len(sys.argv) > 2 else 1280
+    h = int(sys.argv[3]) if len(sys.argv) > 3 else 720
+
+    cloud = make_random_cloud(
+        jax.random.key(0), n, extent=1.2, scale_range=(0.005, 0.02)
+    )
+    cam = make_lookat_camera(eye=(0, 0, -4.0), width=w, height=h, focal=0.8 * w)
+    args0 = activate_cloud(cloud)
+    target = jnp.full((3, h, w), 0.3)
+
+    # Actual pair demand per tile size.
+    for tile in (16, 32):
+        cfg = BinningConfig(tile=tile, max_pairs=1 << 22, chunk_pairs=128)
+        tp = jax.jit(
+            lambda m: build_exact_stream(
+                args0.replace(means3d=m), cam, cfg
+            ).total_pairs
+        )(args0.means3d)
+        print(f"tile={tile}: total_pairs={int(tp):,}", flush=True)
+
+    variants = [
+        ("t16 G128 800k", BinningConfig(tile=16, max_pairs=819_200, chunk_pairs=128)),
+        ("t16 G256 800k", BinningConfig(tile=16, max_pairs=819_200, chunk_pairs=256)),
+        ("t32 G128 384k", BinningConfig(tile=32, max_pairs=393_216, chunk_pairs=128)),
+        ("t32 G256 384k", BinningConfig(tile=32, max_pairs=393_216, chunk_pairs=256)),
+        (
+            "t32 G128 384k rolls",
+            BinningConfig(
+                tile=32, max_pairs=393_216, chunk_pairs=128, scan="rolls"
+            ),
+        ),
+        ("t32 G512 384k", BinningConfig(tile=32, max_pairs=393_216, chunk_pairs=512)),
+    ]
+    for name, cfg in variants:
+        # Everything device-resident is a jit ARGUMENT (closure-captured
+        # arrays are embedded constants re-marshalled every call on axon).
+        @jax.jit
+        def fwd_bwd(args, target, cfg=cfg):
+            def loss(m):
+                out = render(
+                    args.replace(means3d=m), cam, impl="pallas", config=cfg
+                )
+                return (
+                    jnp.mean(jnp.abs(out.image - target))
+                    + 0.1 * jnp.mean(out.depth)
+                )
+
+            return jax.grad(loss)(args.means3d)
+
+        jig = lambda i: (
+            args0.replace(means3d=args0.means3d + jnp.float32(i) * 1e-7),
+            target,
+        )
+        r = time_fn(fwd_bwd, args_fn=jig, iters=6)
+        print(
+            f"{name}: fwd+bwd {r['mean_ms']:.1f} ms (spread {r['spread_ms']:.1f})",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

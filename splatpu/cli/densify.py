@@ -32,6 +32,8 @@ def add_binning_flags(p: argparse.ArgumentParser):
     """Shared binning-budget knobs (SURVEY.md §5.6: every hardcoded constant
     surfaced).  None = keep the product default heuristic."""
     g = p.add_argument_group("binning budgets")
+    g.add_argument("--tile", type=int, default=None,
+                   help="pixels per tile side (16 or 32)")
     g.add_argument("--max-pairs", type=int, default=None,
                    help="total (tile, gaussian) pair budget per render")
     g.add_argument("--max-span", type=int, default=None,
@@ -47,7 +49,10 @@ def add_binning_flags(p: argparse.ArgumentParser):
 def binning_from_args(args) -> BinningConfig | None:
     overrides = {
         k: getattr(args, k)
-        for k in ("max_pairs", "max_span", "span_small", "chunk_pairs", "big_capacity")
+        for k in (
+            "tile", "max_pairs", "max_span", "span_small", "chunk_pairs",
+            "big_capacity",
+        )
         if getattr(args, k) is not None
     }
     if not overrides:

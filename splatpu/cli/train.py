@@ -49,8 +49,10 @@ def main(argv=None):
              "or host RAM with per-step async staging (for sequences whose "
              "full view set exceeds device memory)",
     )
-    p.add_argument("--compute-dtype", default="float32",
-                   choices=["float32", "bfloat16"])
+    p.add_argument("--compute-dtype", default="auto",
+                   choices=["auto", "float32", "bfloat16"],
+                   help="deformation-MLP matmul dtype; auto = bfloat16 on TPU"
+                        " (validated at quality parity), float32 elsewhere")
     p.add_argument(
         "--mesh-cameras", type=int, default=0,
         help="shard the sampled views over a `cameras` device mesh axis of"

@@ -157,13 +157,17 @@ def render_dual(
     )
 
 
-def default_config(n_gaussians: int) -> BinningConfig:
-    """Pair budget heuristic: ~8 tiles per Gaussian, rounded up to the chunk
-    size (every binning/routing/gather domain scales linearly with the
-    budget, so an exact multiple beats the next power of two by up to 2x).
-    Check `PairStream.overflowed` for scenes that blow the budget."""
-    cfg = BinningConfig()
-    chunk = cfg.chunk_pairs
-    budget = min(max(n_gaussians * 8, 1 << 12), 1 << 21)
+def default_config(n_gaussians: int, tile: int = 32) -> BinningConfig:
+    """Product-default binning: 32px tiles with a ~4-pairs-per-Gaussian
+    budget (16px tiles need ~8: measured 664k vs 318k pairs at the 100k/720p
+    bench scene).  Budgets are rounded up to the chunk size — every
+    binning/routing/gather domain scales linearly with the budget, so an
+    exact multiple beats the next power of two by up to 2x.  Scenes that
+    blow the budget surface `RenderOutput.overflowed` (stage 1 auto-grows
+    the budget on overflow)."""
+    chunk = 128 if tile <= 16 else 256  # measured fastest per tile size (v5e)
+    cfg = BinningConfig(tile=tile, chunk_pairs=chunk)
+    per_gaussian = 8 if tile <= 16 else 4
+    budget = min(max(n_gaussians * per_gaussian, 1 << 12), 1 << 21)
     budget = -(-budget // chunk) * chunk
     return dataclasses.replace(cfg, max_pairs=budget)

@@ -33,7 +33,8 @@ from flax import struct
 from splatpu.core.projection import Splats2D, preprocess
 from splatpu.core.types import Camera, RenderArgs
 
-TILE = 16  # pixels per tile side; 256-pixel tiles, like the CUDA kernel.
+TILE = 16  # default pixels per tile side (256-pixel tiles, like the CUDA
+           # kernel); the exact path reads BinningConfig.tile instead.
 
 
 @dataclasses.dataclass(frozen=True)
@@ -47,6 +48,11 @@ class BinningConfig:
     and keeps forward DMA reads aligned.
     """
 
+    tile: int = 16           # pixels per tile side.  16 matches the CUDA kernel's
+                             # 16x16 blocks; 32 quarters the tile count and
+                             # roughly halves the pair budget a scene needs
+                             # (bigger tiles -> fewer (tile, gaussian) pairs)
+                             # at 4x the per-pair VPU work.
     max_span: int = 32       # max tiles a single Gaussian may cover (rest dropped;
                              # `overflowed` flags scenes that need more)
     span_small: int = 16     # exact path: lanes emitted for EVERY Gaussian; ones
@@ -64,6 +70,16 @@ class BinningConfig:
     kernel: str = "grid"     # exact-path compositing kernels: "grid" (chunk-table
                              # grid, Mosaic-pipelined DMA) or "manual" (per-tile
                              # grid with explicit in-kernel DMA)
+    cull_tiles: bool = True  # exact path: drop (tile, gaussian) pairs whose
+                             # alpha upper bound over the tile is < 1/255
+                             # (opacity-aware effective radius + rect-distance
+                             # test).  Output-exact: the composite kernels
+                             # skip those pairs anyway.
+    exact_tie_order: bool = True  # break (tile, depth) sort ties by gaussian id
+                             # (exact reference radix-sort order); False skips
+                             # the secondary key (ties then composite in
+                             # emission-class order — visually identical, the
+                             # tied pairs differ by < 1 depth quantum)
     scan: str = "mxu2"       # in-kernel lane prefix sums: "mxu2" (128-blocked
                              # triangular matmuls with a 2-pass bf16 split —
                              # fastest, ~2e-6 rel err), "mxu" (one full (G, G)
@@ -105,8 +121,8 @@ class PairStream:
     splats: Splats2D
 
 
-def tile_grid(camera: Camera) -> tuple[int, int]:
-    return -(-camera.width // TILE), -(-camera.height // TILE)
+def tile_grid(camera: Camera, tile: int = TILE) -> tuple[int, int]:
+    return -(-camera.width // tile), -(-camera.height // tile)
 
 
 def _depth_bits_for(num_tiles: int) -> int:
@@ -127,7 +143,7 @@ def build_pair_stream(
     camera: Camera,
     config: BinningConfig,
 ) -> PairStream:
-    tiles_x, tiles_y = tile_grid(camera)
+    tiles_x, tiles_y = tile_grid(camera, config.tile)
     num_tiles = tiles_x * tiles_y
     depth_bits = _depth_bits_for(num_tiles)
     max_span = config.max_span
@@ -139,7 +155,9 @@ def build_pair_stream(
     # --- Tile rects (CUDA getRect semantics [reconstructed]). ---
     from splatpu.core.projection import tile_rect
 
-    tx0, ty0, tx1, ty1 = tile_rect(sp.mean2d, sp.radius, tiles_x, tiles_y, TILE)
+    tx0, ty0, tx1, ty1 = tile_rect(
+        sp.mean2d, sp.radius, tiles_x, tiles_y, config.tile
+    )
     span_w = jnp.where(sp.visible, tx1 - tx0, 0)
     span_h = jnp.where(sp.visible, ty1 - ty0, 0)
     count = span_w * span_h

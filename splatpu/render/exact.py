@@ -48,7 +48,7 @@ from splatpu.core.types import Camera, RenderArgs
 from splatpu.render.binning import TILE, BinningConfig, _depth_bits_for, tile_grid
 from splatpu.render.types import RenderOutput
 
-NPIX = TILE * TILE
+NPIX = TILE * TILE  # default-tile pixel count; kernels use tile*tile
 NREC = 16
 R_MX, R_MY, R_CA, R_CB, R_CC, R_OP, R_DEPTH, R_COLOR0 = 0, 1, 2, 3, 4, 5, 6, 7
 ALPHA_MIN = 1.0 / 255.0
@@ -75,7 +75,7 @@ class ExactStream:
 def build_exact_stream(
     args: RenderArgs, camera: Camera, config: BinningConfig
 ) -> ExactStream:
-    tiles_x, tiles_y = tile_grid(camera)
+    tiles_x, tiles_y = tile_grid(camera, config.tile)
     num_tiles = tiles_x * tiles_y
     depth_bits = _depth_bits_for(num_tiles)
     max_span = config.max_span
@@ -87,12 +87,61 @@ def build_exact_stream(
     sp = preprocess(args, camera)
     n = args.n
 
-    tx0, ty0, tx1, ty1 = tile_rect(sp.mean2d, sp.radius, tiles_x, tiles_y, TILE)
+    tx0, ty0, tx1, ty1 = tile_rect(
+        sp.mean2d, sp.radius, tiles_x, tiles_y, config.tile
+    )
     span_w = jnp.where(sp.visible, tx1 - tx0, 0)
     span_h = jnp.where(sp.visible, ty1 - ty0, 0)
-    count = span_w * span_h
-    span_overflow = jnp.any(count > max_span)
-    count = jnp.minimum(count, max_span)
+    # rect_count enumerates the bounding-rect lanes; the per-lane cull below
+    # shrinks the *emitted* counts (class split still keys off the rect).
+    rect_count = jnp.minimum(span_w * span_h, max_span)
+    span_overflow = jnp.any(span_w * span_h > max_span)
+    count = rect_count
+
+    # Exactness-preserving tile culling (the CUDA rasterizer's known
+    # over-emission; cf. SnugBox/AccuTile in speedy-splat — PAPERS.md): a
+    # (tile, gaussian) pair whose alpha is < 1/255 at EVERY pixel of the tile
+    # is skipped by the composite kernels anyway, so dropping it at emission
+    # changes nothing downstream.  Upper bound over the tile:
+    #   alpha <= op * exp(-d_min^2 / (2*lambda_max(cov2d)))
+    # with d_min the Euclidean distance from the mean to the tile's
+    # pixel-center rect (lambda_min(conic) = 1/lambda_max(cov)).  Cull when
+    # the bound is < ALPHA_MIN, i.e. d_min^2 > 2*lambda_max*ln(255*op).
+    # (radius/3)^2 >= lambda_max (radius = ceil(3*sqrt(lambda_max)) + the
+    # +0.3-dilation slack), so both bounds err on the KEEP side.  Biggest
+    # effect on low-opacity Gaussians (post opacity-reset stage-1 clouds:
+    # op ~ 0.01 gives r_eff ~ 1.35 sigma vs the 3 sigma rect).
+    if config.cull_tiles:
+        op_act = jnp.where(sp.visible, args.opacities[:, 0], 0.0)
+        lam_max = jnp.square(sp.radius.astype(jnp.float32) / 3.0)
+        log_term = jnp.log(jnp.maximum(255.0 * op_act, 1e-12))
+        # No cap at radius^2: the emitted rect is an axis-aligned +-radius
+        # box, so a contributing pair can sit at up to radius*sqrt(2) from
+        # the mean (box corners) — capping at radius^2 wrongly culled corner
+        # tiles where alpha still clears 1/255 (op near 1).  log_term is
+        # bounded by ln(255) anyway since op <= 1.
+        r_eff2 = jnp.maximum(2.0 * lam_max * log_term, 0.0)
+        r_eff2 = jax.lax.stop_gradient(r_eff2)
+        mean2d_sg = jax.lax.stop_gradient(sp.mean2d)
+
+    def lane_keep(g, s_lanes, in_rect):
+        """in_rect AND the tile-rect distance test (all (rows, lanes))."""
+        if not config.cull_tiles:
+            return in_rect
+        safe_w = jnp.maximum(span_w[g], 1)[:, None]
+        sy = s_lanes // safe_w
+        sx = s_lanes - sy * safe_w
+        tl = jnp.float32(config.tile)
+        x0 = (tx0[g][:, None] + sx).astype(jnp.float32) * tl
+        y0 = (ty0[g][:, None] + sy).astype(jnp.float32) * tl
+        mx = mean2d_sg[g, 0][:, None]
+        my = mean2d_sg[g, 1][:, None]
+        # Closest pixel-center of the tile (centers at integer coords
+        # [x0, x0 + tile - 1]); the real-valued clamp under-estimates the
+        # integer-grid distance, which only keeps more pairs (conservative).
+        dx = mx - jnp.clip(mx, x0, x0 + (tl - 1.0))
+        dy = my - jnp.clip(my, y0, y0 + (tl - 1.0))
+        return in_rect & (dx * dx + dy * dy <= r_eff2[g][:, None])
 
     # Two-class split (resolved BEFORE offsets so emission slots stay dense
     # even when the big class overflows): every Gaussian emits span_small
@@ -120,6 +169,32 @@ def build_exact_stream(
         )
         big_ids = jax.lax.stop_gradient(order[:cap_b])
 
+    # Per-lane keep masks (rect membership AND the distance cull), computed
+    # BEFORE offsets: emitted counts are the culled counts, so slots stay
+    # dense and the pair budget only pays for pairs that can contribute.
+    if two_class:
+        s_a = jnp.arange(span_small, dtype=jnp.int32)[None, :]
+        v_a = lane_keep(
+            gids, s_a, (s_a < count[:, None]) & (~is_big)[:, None]
+        )
+        s_b = jnp.arange(max_span, dtype=jnp.int32)[None, :]
+        row_live = (
+            jnp.arange(cap_b, dtype=jnp.int32) < jnp.minimum(n_big, cap_b)
+        )[:, None]
+        v_b = lane_keep(
+            big_ids, s_b, (s_b < count[big_ids][:, None]) & row_live
+        )
+        count_small = jnp.sum(v_a, axis=1)
+        count_big = jnp.sum(v_b, axis=1)  # per big row
+        safe_rank = jnp.minimum(bigrank, cap_b - 1)
+        count = jnp.where(
+            is_big & (bigrank < cap_b), count_big[safe_rank], count_small
+        ).astype(jnp.int32)
+    else:
+        s_all = jnp.arange(max_span, dtype=jnp.int32)[None, :]
+        v_all = lane_keep(gids, s_all, s_all < count[:, None])
+        count = jnp.sum(v_all, axis=1).astype(jnp.int32)
+
     total_pairs = jnp.sum(count)
     offsets = jnp.cumsum(count) - count
 
@@ -136,45 +211,38 @@ def build_exact_stream(
 
     sentinel = jnp.uint32(0xFFFFFFFF)
 
-    def emit(g, s_lanes, lane_valid):
+    def emit(g, s_lanes, keep):
         """Fused (key, val) emission for gaussians `g` x lanes `s_lanes`.
 
-        Budget clipping happens PRE-sort, in emission-slot order (the first
-        max_pairs pairs by gaussian index survive — same drop policy as a
-        scatter into an mp-sized buffer would give, but without the scatter:
-        a direct 2-array sort over the emission domain is ~3.5x faster on TPU
-        than scatter-then-sort).
+        `keep` is the per-lane cull mask; kept lanes are compacted to ranks
+        (an exclusive cumsum along the <=max_span lane axis) so emission
+        slots stay dense per gaussian.  Budget clipping happens PRE-sort, in
+        emission-slot order (the first max_pairs pairs by gaussian index
+        survive — same drop policy as a scatter into an mp-sized buffer
+        would give, but without the scatter: a direct 2-array sort over the
+        emission domain is ~3.5x faster on TPU than scatter-then-sort).
         """
         safe_w = jnp.maximum(span_w[g], 1)[:, None]
         sy = s_lanes // safe_w
         sx = s_lanes - sy * safe_w
         tile_id = (ty0[g][:, None] + sy) * tiles_x + (tx0[g][:, None] + sx)
-        slot = offsets[g][:, None] + s_lanes
-        ok = lane_valid & (slot < mp)
+        rank = jnp.cumsum(keep, axis=1) - keep.astype(jnp.int32)
+        slot = offsets[g][:, None] + rank
+        ok = keep & (slot < mp)
         key = (tile_id.astype(jnp.uint32) << depth_bits) | dq[g][:, None]
         key = jnp.where(ok, key, sentinel)
-        val = ((g[:, None] << lane_bits) | s_lanes).astype(jnp.uint32)
+        val = ((g[:, None] << lane_bits) | rank).astype(jnp.uint32)
         val = jnp.where(ok, val, jnp.uint32(0))
         return key.reshape(-1), val.reshape(-1)
 
     if two_class:
         # Sort work drops from N*max_span to N*span_small + cap_b*max_span.
-        s_a = jnp.arange(span_small, dtype=jnp.int32)[None, :]
-        key_a, val_a = emit(
-            gids, s_a, (s_a < count[:, None]) & (~is_big)[:, None]
-        )
-        s_b = jnp.arange(max_span, dtype=jnp.int32)[None, :]
-        row_live = (
-            jnp.arange(cap_b, dtype=jnp.int32) < jnp.minimum(n_big, cap_b)
-        )[:, None]
-        key_b, val_b = emit(
-            big_ids, s_b, (s_b < count[big_ids][:, None]) & row_live
-        )
+        key_a, val_a = emit(gids, s_a, v_a)
+        key_b, val_b = emit(big_ids, s_b, v_b)
         key_flat = jnp.concatenate([key_a, key_b])
         val_flat = jnp.concatenate([val_a, val_b])
     else:
-        s = jnp.arange(max_span, dtype=jnp.int32)[None, :]
-        key_flat, val_flat = emit(gids, s, s < count[:, None])
+        key_flat, val_flat = emit(gids, s_all, v_all)
 
     # num_keys=2: the value word (gid << lane_bits | lane) is a secondary sort
     # key, so pairs with equal (tile, quantized-depth) keys composite in global
@@ -182,7 +250,9 @@ def build_exact_stream(
     # order even across the two-class emission split (class-B big Gaussians
     # would otherwise all sort after class-A smalls on key ties).
     keys_all, vals_all = jax.lax.sort(
-        (key_flat, val_flat), dimension=0, num_keys=2
+        (key_flat, val_flat),
+        dimension=0,
+        num_keys=2 if config.exact_tie_order else 1,
     )
     # All <= mp valid keys sort before the 0xFFFFFFFF sentinels, so the first
     # mp positions contain every kept pair.  Pad for tiny emission domains.
@@ -244,13 +314,13 @@ def build_exact_stream(
 # ---------------------------------------------------------------------------
 
 
-def _pixel_coords(t, tiles_x):
+def _pixel_coords(t, tiles_x, tile):
     """Tile-LOCAL pixel coordinates plus the tile origin (f32 scalars)."""
-    pixi = jax.lax.broadcasted_iota(jnp.int32, (NPIX, 1), 0)
-    px = (pixi % TILE).astype(jnp.float32)
-    py = (pixi // TILE).astype(jnp.float32)
-    ox = ((t % tiles_x) * TILE).astype(jnp.float32)
-    oy = ((t // tiles_x) * TILE).astype(jnp.float32)
+    pixi = jax.lax.broadcasted_iota(jnp.int32, (tile * tile, 1), 0)
+    px = (pixi % tile).astype(jnp.float32)
+    py = (pixi // tile).astype(jnp.float32)
+    ox = ((t % tiles_x) * tile).astype(jnp.float32)
+    oy = ((t // tiles_x) * tile).astype(jnp.float32)
     return px, py, ox, oy
 
 
@@ -321,17 +391,17 @@ def _split_dot(x, tri):
     ) + jax.lax.dot_general(lo, tri, dims, preferred_element_type=jnp.float32)
 
 
-def _lane_cumsum_mxu2(x, inclusive=True, reverse=False):
-    """Lane prefix sum: 128-lane blocked triangular matmuls (split-bf16) with
-    an inter-block carry.
+def _lane_cumsum_mxu2(x, inclusive=True, reverse=False, block=None):
+    """Lane prefix sum: blocked triangular matmuls (split-bf16) with an
+    inter-block carry.
 
-    Work per element is a constant 128 MACs x 2 passes instead of the full
-    (G, G) x 6-pass HIGHEST matmul of `_lane_cumsum_mxu` — ~6x fewer MXU MACs
-    at G=256, ~12x at G=512 — while static lane slices keep everything
-    layout-aligned (no reshapes).
+    Work per element is a constant `block` MACs x 2 passes instead of the
+    full (G, G) x 6-pass HIGHEST matmul of `_lane_cumsum_mxu` — ~6x fewer
+    MXU MACs at G=256, ~12x at G=512 — while static lane slices keep
+    everything layout-aligned (no reshapes).
     """
     g = x.shape[-1]
-    b = _SCAN_BLOCK
+    b = block or _SCAN_BLOCK
     if g <= b:
         s = _split_dot(x, _tri_bf16(g, reverse))
         return s if inclusive else s - x
@@ -364,6 +434,9 @@ _SCANS = {
 
 
 def _scan_fn(scan: str):
+    if scan.startswith("mxu2:"):  # e.g. "mxu2:32" — 32-lane scan blocks
+        block = int(scan.split(":", 1)[1])
+        return functools.partial(_lane_cumsum_mxu2, block=block)
     return _SCANS[scan]
 
 
@@ -433,12 +506,13 @@ def _fwd_kernel(
     records_ref, bg_ref,
     img_ref, depth_ref, tfin_ref, last_ref,
     rec_buf, sem, tcar, failed,
-    *, tiles_x: int, G: int, C: int, scan: str,
+    *, tiles_x: int, G: int, C: int, scan: str, tile: int = TILE,
 ):
+    NPIX = tile * tile
     t = pl.program_id(0)
     s = start_ref[t]
     e = end_ref[t]
-    px, py, ox, oy = _pixel_coords(t, tiles_x)
+    px, py, ox, oy = _pixel_coords(t, tiles_x, tile)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, G), 1)
 
     img_ref[0] = jnp.zeros((C, NPIX), jnp.float32)
@@ -462,11 +536,9 @@ def _fwd_kernel(
         z = jnp.log1p(-alpha)
         excl = _scan_fn(scan)(z, inclusive=False)
         t_excl = tcar[:] * jnp.exp(excl)
-        fail = ((t_excl * (1.0 - alpha) < TRANSMITTANCE_EPS) & (alpha > 0.0)).astype(
-            jnp.float32
-        )
-        failcnt = _scan_fn(scan)(fail, inclusive=True)
-        contribute = (failcnt == 0.0) & (failed[:] == 0.0)
+        fail = (t_excl * (1.0 - alpha) < TRANSMITTANCE_EPS) & (alpha > 0.0)
+        first_fail = jnp.min(jnp.where(fail, lane, G), axis=1, keepdims=True)
+        contribute = (lane < first_fail) & (failed[:] == 0.0)
         w = jnp.where(contribute, alpha * t_excl, 0.0)
 
         colors = rec_buf[R_COLOR0 : R_COLOR0 + C, :]
@@ -481,7 +553,9 @@ def _fwd_kernel(
         )
         zc = jnp.where(contribute, z, 0.0)
         tcar[:] = tcar[:] * jnp.exp(jnp.sum(zc, axis=1, keepdims=True))
-        failed[:] = jnp.maximum(failed[:], jnp.max(fail, axis=1, keepdims=True))
+        failed[:] = jnp.maximum(
+            failed[:], jnp.max(fail.astype(jnp.float32), axis=1, keepdims=True)
+        )
         lastp = jnp.max(
             jnp.where(contribute & (alpha > 0.0), pos, -1), axis=1, keepdims=True
         )
@@ -504,12 +578,13 @@ def _bwd_kernel(
     tfin_ref, last_ref, gimg_ref, gdep_ref, gtf_ref, bg_ref,
     grads_ref,
     rec_buf, gbuf, prev_buf, sem_in, sem_out, sem_rmw, tback, gsum,
-    *, tiles_x: int, G: int, C: int, scan: str,
+    *, tiles_x: int, G: int, C: int, scan: str, tile: int = TILE,
 ):
+    NPIX = tile * tile
     t = pl.program_id(0)
     s = start_ref[t]
     e = end_ref[t]
-    px, py, ox, oy = _pixel_coords(t, tiles_x)
+    px, py, ox, oy = _pixel_coords(t, tiles_x, tile)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, G), 1)
 
     tfin = tfin_ref[0]
@@ -679,8 +754,9 @@ def _fwd_kernel_grid(
     records_ref, bg_ref,
     out_ref,
     tcar, failed,
-    *, tiles_x: int, G: int, C: int, scan: str,
+    *, tiles_x: int, G: int, C: int, scan: str, tile: int = TILE,
 ):
+    NPIX = tile * tile
     k = pl.program_id(0)
     t = tile_s[k]
     lo = lo_s[k]
@@ -706,7 +782,7 @@ def _fwd_kernel_grid(
 
         @pl.when((lo < hi) & jnp.logical_not(all_done))
         def _compute():
-            px, py, ox, oy = _pixel_coords(t, tiles_x)
+            px, py, ox, oy = _pixel_coords(t, tiles_x, tile)
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, G), 1)
             pos = blk_s[k] * G + lane
             geo = _chunk_geometry(records_ref[:], px, py, pos, lo, hi, ox, oy)
@@ -715,11 +791,14 @@ def _fwd_kernel_grid(
             z = jnp.log1p(-alpha)
             excl = _scan_fn(scan)(z, inclusive=False)
             t_excl = tcar[:] * jnp.exp(excl)
-            fail = (
-                (t_excl * (1.0 - alpha) < TRANSMITTANCE_EPS) & (alpha > 0.0)
-            ).astype(jnp.float32)
-            failcnt = _scan_fn(scan)(fail, inclusive=True)
-            contribute = (failcnt == 0.0) & (failed[:] == 0.0)
+            fail = (t_excl * (1.0 - alpha) < TRANSMITTANCE_EPS) & (alpha > 0.0)
+            # contribute <=> no fail at any lane <= this one: a first-fail
+            # lane MIN-reduction replaces a second full prefix scan (the
+            # scans are the kernel's dominant MXU cost).
+            first_fail = jnp.min(
+                jnp.where(fail, lane, G), axis=1, keepdims=True
+            )
+            contribute = (lane < first_fail) & (failed[:] == 0.0)
             w = jnp.where(contribute, alpha * t_excl, 0.0)
 
             colors = records_ref[R_COLOR0 : R_COLOR0 + C, :]
@@ -736,7 +815,8 @@ def _fwd_kernel_grid(
             zc = jnp.where(contribute, z, 0.0)
             tcar[:] = tcar[:] * jnp.exp(jnp.sum(zc, axis=1, keepdims=True))
             failed[:] = jnp.maximum(
-                failed[:], jnp.max(fail, axis=1, keepdims=True)
+                failed[:],
+                jnp.max(fail.astype(jnp.float32), axis=1, keepdims=True),
             )
             lastp = jnp.max(
                 jnp.where(contribute & (alpha > 0.0), pos.astype(jnp.float32), -1.0),
@@ -763,8 +843,9 @@ def _bwd_kernel_grid(
     records_ref, fwdout_ref, cot_ref, bg_ref,
     grads_ref,
     tback, gsum,
-    *, tiles_x: int, G: int, C: int, scan: str,
+    *, tiles_x: int, G: int, C: int, scan: str, tile: int = TILE,
 ):
+    NPIX = tile * tile
     k = pl.program_id(0)
     t = tile_s[k]
     lo = lo_s[k]
@@ -795,7 +876,7 @@ def _bwd_kernel_grid(
 
     @pl.when(relevant)
     def _run():
-        px, py, ox, oy = _pixel_coords(t, tiles_x)
+        px, py, ox, oy = _pixel_coords(t, tiles_x, tile)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, G), 1)
 
         gimg = cot_ref[0, :, 0:C]
@@ -843,8 +924,11 @@ def _bwd_kernel_grid(
         grads_ref[:] = jnp.zeros((NREC, G), jnp.float32)
 
 
-def _fwd_call_grid(records, start, end, bg_row, *, num_tiles, tiles_x, G, C, scan):
+def _fwd_call_grid(
+    records, start, end, bg_row, *, num_tiles, tiles_x, G, C, scan, tile=TILE
+):
     """Packed forward: returns (num_tiles, NPIX, PACK) — see PACK layout."""
+    NPIX = tile * tile
     mp = records.shape[1]
     max_chunks = mp // G + num_tiles
     tables = _chunk_tables(start, end, num_tiles, mp, G, reverse=False)
@@ -870,7 +954,9 @@ def _fwd_call_grid(records, start, end, bg_row, *, num_tiles, tiles_x, G, C, sca
             pltpu.VMEM((NPIX, 1), jnp.float32),
         ],
     )
-    kernel = functools.partial(_fwd_kernel_grid, tiles_x=tiles_x, G=G, C=C, scan=scan)
+    kernel = functools.partial(
+        _fwd_kernel_grid, tiles_x=tiles_x, G=G, C=C, scan=scan, tile=tile
+    )
     (out,) = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -883,8 +969,9 @@ def _fwd_call_grid(records, start, end, bg_row, *, num_tiles, tiles_x, G, C, sca
 
 def _bwd_call_grid(
     records, start, end, bg_row, fwdout, cot,
-    *, num_tiles, tiles_x, G, C, scan,
+    *, num_tiles, tiles_x, G, C, scan, tile=TILE,
 ):
+    NPIX = tile * tile
     mp = records.shape[1]
     max_chunks = mp // G + num_tiles
     tables = _chunk_tables(start, end, num_tiles, mp, G, reverse=True)
@@ -914,7 +1001,9 @@ def _bwd_call_grid(
             pltpu.VMEM((NPIX, 1), jnp.float32),
         ],
     )
-    kernel = functools.partial(_bwd_kernel_grid, tiles_x=tiles_x, G=G, C=C, scan=scan)
+    kernel = functools.partial(
+        _bwd_kernel_grid, tiles_x=tiles_x, G=G, C=C, scan=scan, tile=tile
+    )
     (grads,) = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -934,7 +1023,10 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _fwd_call(records, start, end, bg, *, num_tiles, tiles_x, G, C, scan):
+def _fwd_call(
+    records, start, end, bg, *, num_tiles, tiles_x, G, C, scan, tile=TILE
+):
+    NPIX = tile * tile
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
@@ -961,7 +1053,9 @@ def _fwd_call(records, start, end, bg, *, num_tiles, tiles_x, G, C, scan):
         jax.ShapeDtypeStruct((num_tiles, NPIX, 1), jnp.float32),
         jax.ShapeDtypeStruct((num_tiles, NPIX, 1), jnp.int32),
     ]
-    kernel = functools.partial(_fwd_kernel, tiles_x=tiles_x, G=G, C=C, scan=scan)
+    kernel = functools.partial(
+        _fwd_kernel, tiles_x=tiles_x, G=G, C=C, scan=scan, tile=tile
+    )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -973,8 +1067,9 @@ def _fwd_call(records, start, end, bg, *, num_tiles, tiles_x, G, C, scan):
 
 def _bwd_call(
     records, start, end, bg, tfin, last, g_img_pix, g_dep, g_tf,
-    *, num_tiles, tiles_x, G, C, scan,
+    *, num_tiles, tiles_x, G, C, scan, tile=TILE,
 ):
+    NPIX = tile * tile
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
@@ -999,7 +1094,9 @@ def _bwd_call(
             pltpu.VMEM((NPIX, 1), jnp.float32),
         ],
     )
-    kernel = functools.partial(_bwd_kernel, tiles_x=tiles_x, G=G, C=C, scan=scan)
+    kernel = functools.partial(
+        _bwd_kernel, tiles_x=tiles_x, G=G, C=C, scan=scan, tile=tile
+    )
     (grads,) = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -1065,12 +1162,13 @@ def _composite_table_fwd(
     """Outputs are pixel-major per tile: (img (T, NPIX, C), dep (T, NPIX),
     tfin (T, NPIX)) — cotangents then arrive already in the packed kernels'
     layout, with zero transposes on either side."""
-    num_tiles, tiles_x, G, C, _max_span, kernel, scan = static
+    num_tiles, tiles_x, G, C, _max_span, kernel, scan, tile = static
     records = table[:, gid]  # (NREC, P) single fused column gather
     if kernel == "grid":
         packed = _fwd_call_grid(
             records, start, end, bg[None, :],
             num_tiles=num_tiles, tiles_x=tiles_x, G=G, C=C, scan=scan,
+            tile=tile,
         )
         out = (packed[..., :C], packed[..., C], packed[..., C + 1])
         aux = packed
@@ -1078,6 +1176,7 @@ def _composite_table_fwd(
         img, dep, tfin, last = _fwd_call(
             records, start, end, bg[:, None],
             num_tiles=num_tiles, tiles_x=tiles_x, G=G, C=C, scan=scan,
+            tile=tile,
         )
         out = (jnp.swapaxes(img, 1, 2), dep[..., 0], tfin[..., 0])
         aux = (tfin, last)
@@ -1086,7 +1185,7 @@ def _composite_table_fwd(
 
 
 def _composite_table_bwd(static, residuals, cotangents):
-    num_tiles, tiles_x, G, C, _max_span, kernel, scan = static
+    num_tiles, tiles_x, G, C, _max_span, kernel, scan, tile = static
     records, start, end, bg, aux, offsets, counts, pos_of_slot = residuals
     g_img, g_dep, g_tf = cotangents  # g_img is (T, NPIX, C)
     if kernel == "grid":
@@ -1097,13 +1196,14 @@ def _composite_table_bwd(static, residuals, cotangents):
                 g_img,
                 g_dep[..., None],
                 g_tf[..., None],
-                jnp.zeros((num_t, NPIX, PACK - C - 2), jnp.float32),
+                jnp.zeros((num_t, tile * tile, PACK - C - 2), jnp.float32),
             ],
             axis=-1,
         )
         grads = _bwd_call_grid(
             records, start, end, bg[None, :], packed, cot,
             num_tiles=num_tiles, tiles_x=tiles_x, G=G, C=C, scan=scan,
+            tile=tile,
         )
         tfin = packed[..., C + 1]
     else:
@@ -1112,6 +1212,7 @@ def _composite_table_bwd(static, residuals, cotangents):
             records, start, end, bg[:, None], tfin4, last4,
             g_img, g_dep[..., None], g_tf[..., None],
             num_tiles=num_tiles, tiles_x=tiles_x, G=G, C=C, scan=scan,
+            tile=tile,
         )
         tfin = tfin4[..., 0]
     d_table = _route_to_table(grads, offsets, counts, pos_of_slot, R_COLOR0 + C)
@@ -1170,11 +1271,11 @@ def composite_exact(
             f" positions); got {config.max_pairs}. Use kernel='manual'."
         )
 
-    tiles_x, tiles_y = tile_grid(camera)
+    tiles_x, tiles_y = tile_grid(camera, config.tile)
     num_tiles = tiles_x * tiles_y
     static = (
         num_tiles, tiles_x, config.chunk_pairs, c, config.max_span,
-        config.kernel, config.scan,
+        config.kernel, config.scan, config.tile,
     )
     table = _pack_table(
         mean2d, stream.splats.conic, colors, stream.g_opacity, stream.splats.depth
@@ -1184,15 +1285,17 @@ def composite_exact(
         stream.offsets, stream.counts, stream.pos_of_slot, static,
     )
 
+    tl = config.tile
+
     def untile(x_tiles):
         if x_tiles.ndim == 3:  # (T, NPIX, C) pixel-major -> (C, H, W)
-            x = x_tiles.reshape(tiles_y, tiles_x, TILE, TILE, -1)
+            x = x_tiles.reshape(tiles_y, tiles_x, tl, tl, -1)
             x = jnp.transpose(x, (4, 0, 2, 1, 3)).reshape(
-                -1, tiles_y * TILE, tiles_x * TILE
+                -1, tiles_y * tl, tiles_x * tl
             )
             return x[:, : camera.height, : camera.width]
-        x = x_tiles.reshape(tiles_y, tiles_x, TILE, TILE)
-        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(tiles_y * TILE, tiles_x * TILE)
+        x = x_tiles.reshape(tiles_y, tiles_x, tl, tl)
+        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(tiles_y * tl, tiles_x * tl)
         return x[: camera.height, : camera.width]
 
     return RenderOutput(

@@ -571,6 +571,11 @@ def composite_stream(
         raise ValueError(f"at most {NREC - R_COLOR0} color channels supported")
     if config.chunk_pairs % 128 != 0:
         raise ValueError("chunk_pairs must be a multiple of 128 for the TPU kernel")
+    if config.tile != TILE:
+        raise ValueError(
+            "the first-generation padded path is fixed at 16x16 tiles; use"
+            " impl='pallas' for configurable tile sizes"
+        )
 
     tiles_x, tiles_y = tile_grid(camera)
     num_tiles = tiles_x * tiles_y

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from splatpu.core.projection import TRANSMITTANCE_EPS
 from splatpu.core.types import Camera, RenderArgs
-from splatpu.render.binning import TILE, BinningConfig, PairStream, build_pair_stream, tile_grid
+from splatpu.render.binning import BinningConfig, PairStream, build_pair_stream, tile_grid
 from splatpu.render.types import RenderOutput
 
 
@@ -58,7 +58,8 @@ def composite_pairs(
     if records is None:
         records = gather_pair_records(stream)
     r_mean2d, r_conic, r_color, r_opacity, r_depth = records
-    tiles_x, tiles_y = tile_grid(camera)
+    TILE = config.tile
+    tiles_x, tiles_y = tile_grid(camera, TILE)
     num_tiles = tiles_x * tiles_y
     pc = config.chunk_pairs
     num_chunks = -(-stream.tile.shape[0] // pc)

@@ -59,7 +59,9 @@ class Stage2Config:
     renderer: str = "auto"
     binning: Optional[BinningConfig] = None
     quirk_compat: bool = True
-    compute_dtype: str = "float32"
+    compute_dtype: str = "auto"  # "auto" = bfloat16 on TPU, float32 elsewhere
+                                 # (stage-2 MLP parity validated: PSNR 22.898
+                                 # bf16 vs 22.905 f32, scripts/quality_check.py)
     view_staging: str = "device"  # "device" (f32, reference behavior),
                                   # "device_u8" (4x smaller HBM), or "host"
                                   # (numpy + one-step-ahead async device_put
@@ -79,10 +81,15 @@ class Stage2Config:
     checkpoint_path: Optional[str] = None
 
     def net_config(self) -> DeformationNetConfig:
+        dtype = self.compute_dtype
+        if dtype == "auto":
+            dtype = (
+                "bfloat16" if jax.default_backend() == "tpu" else "float32"
+            )
         return DeformationNetConfig(
             hidden_dim=self.hidden_dim,
             residual_blocks=self.residual_blocks,
-            compute_dtype=self.compute_dtype,
+            compute_dtype=dtype,
         )
 
 

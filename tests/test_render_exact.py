@@ -189,7 +189,11 @@ class TestExactEdgeCases:
         from splatpu.render.exact import build_exact_stream
 
         cloud, cam = scene(9, n=64, w=64, h=48)
-        tiny = BinningConfig(max_span=64, max_pairs=128, chunk_pairs=128)
+        # cull_tiles off: culling can legitimately fit this scene within the
+        # tiny budget — the test targets the overflow flag, not the cull.
+        tiny = BinningConfig(
+            max_span=64, max_pairs=128, chunk_pairs=128, cull_tiles=False
+        )
         stream = build_exact_stream(activate_cloud(cloud), cam, tiny)
         assert bool(stream.overflowed)
         # Render still completes and produces finite pixels.
@@ -249,3 +253,102 @@ class TestExactEdgeCases:
                 assert gid[p] == g, (g, s, p, gid[p])
                 checked += 1
         assert checked > 0
+
+
+class TestTile32:
+    """BinningConfig.tile=32: quarter the tile count, same contract."""
+
+    def _cfg(self, **kw):
+        return BinningConfig(
+            tile=32, max_span=64, max_pairs=1 << 12, chunk_pairs=128, **kw
+        )
+
+    def test_forward_matches_oracle(self):
+        cloud, cam = scene(3, n=80, w=72, h=56)  # non-multiple of 32
+        args = activate_cloud(cloud)
+        bg = jnp.array([0.1, 0.2, 0.3])
+        ref = render(args, cam, bg=bg, impl="oracle")
+        got = render(args, cam, bg=bg, impl="pallas", config=self._cfg())
+        np.testing.assert_allclose(
+            np.asarray(got.image), np.asarray(ref.image), atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.depth), np.asarray(ref.depth), atol=2e-4
+        )
+
+    def test_gradients_match_oracle(self):
+        cloud, cam = scene(4, n=64, w=64, h=64)
+        args0 = activate_cloud(cloud)
+
+        def loss(m, impl, cfg):
+            out = render(args0.replace(means3d=m), cam, impl=impl, config=cfg)
+            return jnp.mean(out.image**2) + 0.1 * jnp.mean(out.depth)
+
+        g_ref = jax.grad(lambda m: loss(m, "oracle", None))(args0.means3d)
+        g_got = jax.grad(lambda m: loss(m, "pallas", self._cfg()))(args0.means3d)
+        np.testing.assert_allclose(
+            np.asarray(g_got), np.asarray(g_ref), atol=2e-6
+        )
+
+    def test_stream_supports_tile32(self):
+        cloud, cam = scene(6, n=48, w=64, h=48)
+        args = activate_cloud(cloud)
+        ref = render(args, cam, impl="oracle")
+        got = render(args, cam, impl="stream", config=self._cfg())
+        np.testing.assert_allclose(
+            np.asarray(got.image), np.asarray(ref.image), atol=2e-5
+        )
+
+
+class TestTileCulling:
+    """cull_tiles drops only pairs with alpha < 1/255 everywhere in their
+    tile — output and gradients must be bit-comparable to the unculled path,
+    with measurably fewer pairs on low-opacity scenes."""
+
+    def _scene(self):
+        cloud, cam = scene(7, n=96, w=96, h=64)
+        # Force low opacities (stage-1 post-reset regime) so the effective
+        # radius shrinks well below the 3-sigma rect.
+        cloud = cloud.replace(
+            opacity_logits=jnp.full_like(cloud.opacity_logits, -3.5)
+        )
+        return cloud, cam
+
+    def _cfg(self, cull):
+        return BinningConfig(
+            max_span=64, max_pairs=1 << 13, chunk_pairs=128, cull_tiles=cull
+        )
+
+    def test_output_identical_and_pairs_reduced(self):
+        from splatpu.render.exact import build_exact_stream
+
+        cloud, cam = self._scene()
+        args = activate_cloud(cloud)
+        on = render(args, cam, impl="pallas", config=self._cfg(True))
+        off = render(args, cam, impl="pallas", config=self._cfg(False))
+        np.testing.assert_allclose(
+            np.asarray(on.image), np.asarray(off.image), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(on.depth), np.asarray(off.depth), atol=1e-6
+        )
+        p_on = int(build_exact_stream(args, cam, self._cfg(True)).total_pairs)
+        p_off = int(build_exact_stream(args, cam, self._cfg(False)).total_pairs)
+        assert p_on < p_off * 0.7, (p_on, p_off)
+
+    def test_gradients_identical(self):
+        cloud, cam = self._scene()
+        args0 = activate_cloud(cloud)
+
+        def loss(m, cull):
+            out = render(
+                args0.replace(means3d=m), cam, impl="pallas",
+                config=self._cfg(cull),
+            )
+            return jnp.mean(out.image**2) + 0.1 * jnp.mean(out.depth)
+
+        g_on = jax.grad(lambda m: loss(m, True))(args0.means3d)
+        g_off = jax.grad(lambda m: loss(m, False))(args0.means3d)
+        np.testing.assert_allclose(
+            np.asarray(g_on), np.asarray(g_off), atol=1e-7
+        )
