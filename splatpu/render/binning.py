@@ -83,8 +83,12 @@ class BinningConfig:
     scan: str = "mxu2"       # in-kernel lane prefix sums: "mxu2" (128-blocked
                              # triangular matmuls with a 2-pass bf16 split —
                              # fastest, ~2e-6 rel err), "mxu" (one full (G, G)
-                             # triangular matmul at Precision.HIGHEST), or
-                             # "rolls" (log2(G) Hillis-Steele roll+add passes)
+                             # triangular matmul at Precision.HIGHEST),
+                             # "rolls" (log2(G) Hillis-Steele roll+add passes),
+                             # or "prod" (grid kernels only: carry
+                             # transmittance as a direct product of (1-alpha)
+                             # via multiplicative roll scans — drops the
+                             # per-element log1p/exp transcendental pair)
 
     def padded_capacity(self, num_tiles: int) -> int:
         """Worst-case aligned stream length: every non-empty tile wastes at

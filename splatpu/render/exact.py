@@ -426,6 +426,39 @@ def _lane_cumsum_mxu2(x, inclusive=True, reverse=False, block=None):
     return s
 
 
+def _lane_cumprod_rolls(x, inclusive=True, reverse=False):
+    """Lane prefix PRODUCT (multiplicative Hillis-Steele via pltpu.roll).
+
+    Exists so the compositing kernels can carry transmittance directly as a
+    product of (1 - alpha) instead of a log-space sum — eliminating the
+    log1p + exp transcendental pair per (pixel, lane), which is EUP-bound
+    work the MXU sum-scan cannot remove.  Underflow to 0 in lanes past the
+    termination point is harmless (those lanes are masked downstream).
+    """
+    g = x.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    s = x
+    d = 1
+    while d < g:
+        if reverse:
+            shifted = pltpu.roll(s, shift=g - d, axis=x.ndim - 1)
+            s = s * jnp.where(lane < g - d, shifted, 1.0)
+        else:
+            shifted = pltpu.roll(s, shift=d, axis=x.ndim - 1)
+            s = s * jnp.where(lane >= d, shifted, 1.0)
+        d *= 2
+    if not inclusive:
+        # Safe exclusive-from-inclusive: shift by one lane with identity
+        # fill (division would produce 0/0 on underflowed tails).
+        if reverse:
+            s = jnp.where(
+                lane < g - 1, pltpu.roll(s, shift=g - 1, axis=x.ndim - 1), 1.0
+            )
+        else:
+            s = jnp.where(lane >= 1, pltpu.roll(s, shift=1, axis=x.ndim - 1), 1.0)
+    return s
+
+
 _SCANS = {
     "mxu": _lane_cumsum_mxu,
     "mxu2": _lane_cumsum_mxu2,
@@ -788,9 +821,16 @@ def _fwd_kernel_grid(
             geo = _chunk_geometry(records_ref[:], px, py, pos, lo, hi, ox, oy)
             alpha = geo["alpha"]
 
-            z = jnp.log1p(-alpha)
-            excl = _scan_fn(scan)(z, inclusive=False)
-            t_excl = tcar[:] * jnp.exp(excl)
+            if scan == "prod":
+                # Transmittance as a direct product of (1 - alpha): no
+                # log1p/exp transcendentals (EUP-bound), at the cost of a
+                # log2(G)-pass multiplicative roll scan on the VPU.
+                one_minus = 1.0 - alpha
+                t_excl = tcar[:] * _lane_cumprod_rolls(one_minus, inclusive=False)
+            else:
+                z = jnp.log1p(-alpha)
+                excl = _scan_fn(scan)(z, inclusive=False)
+                t_excl = tcar[:] * jnp.exp(excl)
             fail = (t_excl * (1.0 - alpha) < TRANSMITTANCE_EPS) & (alpha > 0.0)
             # contribute <=> no fail at any lane <= this one: a first-fail
             # lane MIN-reduction replaces a second full prefix scan (the
@@ -812,8 +852,20 @@ def _fwd_kernel_grid(
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )
-            zc = jnp.where(contribute, z, 0.0)
-            tcar[:] = tcar[:] * jnp.exp(jnp.sum(zc, axis=1, keepdims=True))
+            if scan == "prod":
+                # Product over contributing lanes without reduce_prod
+                # (unsupported by Mosaic): partial products t_excl*one_minus
+                # are monotone non-increasing along lanes, so the MIN over
+                # the contribute prefix equals the last partial product —
+                # i.e. tcar * prod of one_minus over contributing lanes.
+                tcar[:] = jnp.min(
+                    jnp.where(contribute, t_excl * one_minus, tcar[:]),
+                    axis=1,
+                    keepdims=True,
+                )
+            else:
+                zc = jnp.where(contribute, z, 0.0)
+                tcar[:] = tcar[:] * jnp.exp(jnp.sum(zc, axis=1, keepdims=True))
             failed[:] = jnp.maximum(
                 failed[:],
                 jnp.max(fail.astype(jnp.float32), axis=1, keepdims=True),
@@ -887,9 +939,20 @@ def _bwd_kernel_grid(
         alpha = geo["alpha"]
 
         in_prefix = pos.astype(jnp.float32) <= last_f
-        az = jnp.where(in_prefix, jnp.log1p(-alpha), 0.0)
-        rev_incl = _scan_fn(scan)(az, inclusive=True, reverse=True)
-        t_excl = tback[:] * jnp.exp(-rev_incl)
+        if scan == "prod":
+            # Reverse walk in product space: t_excl = tback / srev, with
+            # srev the suffix product of (1 - alpha) over in-prefix lanes.
+            # Safe division: within the prefix the forward termination rule
+            # bounds every per-chunk transmittance ratio below by ~1e-4.
+            one_minus_p = jnp.where(in_prefix, 1.0 - alpha, 1.0)
+            srev = _lane_cumprod_rolls(one_minus_p, inclusive=True, reverse=True)
+            t_excl = tback[:] / srev
+            sum_scan = _scan_fn("mxu2")
+        else:
+            az = jnp.where(in_prefix, jnp.log1p(-alpha), 0.0)
+            rev_incl = _scan_fn(scan)(az, inclusive=True, reverse=True)
+            t_excl = tback[:] * jnp.exp(-rev_incl)
+            sum_scan = _scan_fn(scan)
         w = jnp.where(in_prefix, alpha * t_excl, 0.0)
 
         chat = gdep * geo["depth"]
@@ -898,7 +961,7 @@ def _bwd_kernel_grid(
                 gimg[:, c : c + 1] * records_ref[R_COLOR0 + c : R_COLOR0 + c + 1, :]
             )
         wchat = w * chat
-        suffix = gsum[:] + _scan_fn(scan)(wchat, inclusive=False, reverse=True)
+        suffix = gsum[:] + sum_scan(wchat, inclusive=False, reverse=True)
 
         live = in_prefix & (alpha > 0.0)
         one_minus = jnp.where(live, 1.0 - alpha, 1.0)
@@ -916,7 +979,11 @@ def _bwd_kernel_grid(
         def _():
             grads_ref[:] += contrib
 
-        tback[:] = tback[:] * jnp.exp(-jnp.sum(az, axis=1, keepdims=True))
+        if scan == "prod":
+            # Lane 0 of the reverse-inclusive scan IS the full-chunk product.
+            tback[:] = tback[:] / srev[:, 0:1]
+        else:
+            tback[:] = tback[:] * jnp.exp(-jnp.sum(az, axis=1, keepdims=True))
         gsum[:] = gsum[:] + jnp.sum(wchat, axis=1, keepdims=True)
 
     @pl.when(jnp.logical_not(relevant) & newblk)

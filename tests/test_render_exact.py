@@ -300,6 +300,57 @@ class TestTile32:
         )
 
 
+class TestProdScan:
+    """scan='prod': transmittance carried as a direct (1-alpha) product via
+    multiplicative roll scans (no log1p/exp in the grid kernels) — must match
+    the oracle on images and gradients."""
+
+    def test_matches_oracle_image_and_grads(self):
+        cloud, cam = scene(3, n=48, w=96, h=64)
+        cfg = BinningConfig(
+            scan="prod", tile=32, max_span=64, max_pairs=1 << 13,
+            chunk_pairs=128,
+        )
+        args = activate_cloud(cloud)
+        ref = render(args, cam, impl="oracle")
+        got = render(args, cam, impl="pallas", config=cfg)
+        np.testing.assert_allclose(
+            np.asarray(got.image), np.asarray(ref.image), atol=2e-5
+        )
+
+        def loss(means, impl, config=None):
+            out = render(
+                activate_cloud(cloud.replace(means=means)), cam,
+                impl=impl, config=config,
+            )
+            return jnp.mean(jnp.abs(out.image - 0.4)) + 0.05 * jnp.mean(out.depth)
+
+        g = jax.grad(loss)(cloud.means, "pallas", cfg)
+        go = jax.grad(loss)(cloud.means, "oracle")
+        ref_scale = np.abs(np.asarray(go)).max()
+        np.testing.assert_allclose(
+            np.asarray(g) / ref_scale, np.asarray(go) / ref_scale, atol=5e-5
+        )
+
+    def test_deep_stack_termination(self):
+        # Many overlapping opaque gaussians: exercises the termination path
+        # (underflowed products in masked tail lanes must stay harmless).
+        cloud, cam = scene(5, n=96, w=32, h=32)
+        cloud = cloud.replace(
+            opacity_logits=jnp.full_like(cloud.opacity_logits, 4.0)
+        )
+        cfg = BinningConfig(
+            scan="prod", tile=32, max_span=64, max_pairs=1 << 13,
+            chunk_pairs=128,
+        )
+        args = activate_cloud(cloud)
+        ref = render(args, cam, impl="oracle")
+        got = render(args, cam, impl="pallas", config=cfg)
+        np.testing.assert_allclose(
+            np.asarray(got.image), np.asarray(ref.image), atol=2e-5
+        )
+
+
 class TestTileCulling:
     """cull_tiles drops only pairs with alpha < 1/255 everywhere in their
     tile — output and gradients must be bit-comparable to the unculled path,
