@@ -46,7 +46,10 @@ def add_binning_flags(p: argparse.ArgumentParser):
                    help="static big-Gaussian emission slots")
 
 
-def binning_from_args(args) -> BinningConfig | None:
+def binning_from_args(args) -> dict | None:
+    """Individual field overrides, applied by the trainers ON TOP of the
+    n-scaled default heuristic (render.api.resolve_binning) — a single flag
+    like --tile must not discard the budget heuristic for other fields."""
     overrides = {
         k: getattr(args, k)
         for k in (
@@ -55,9 +58,7 @@ def binning_from_args(args) -> BinningConfig | None:
         )
         if getattr(args, k) is not None
     }
-    if not overrides:
-        return None
-    return dataclasses.replace(BinningConfig(), **overrides)
+    return overrides or None
 
 
 def main(argv=None):
@@ -112,7 +113,7 @@ def main(argv=None):
         capacity_factor=args.capacity_factor,
         densify=densify_cfg,
         renderer=args.renderer,
-        binning=binning_from_args(args),
+        binning_overrides=binning_from_args(args),
         mesh_tiles=args.mesh_tiles,
         grow_budget_on_overflow=not args.no_grow_budget,
         seed=args.seed,

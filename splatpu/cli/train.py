@@ -87,7 +87,7 @@ def main(argv=None):
         residual_blocks=args.residual_block_count,
         timestep_count=t_count,
         renderer=args.renderer,
-        binning=binning_from_args(args),
+        binning_overrides=binning_from_args(args),
         seed=args.seed,
         view_staging=args.view_staging,
         compute_dtype=args.compute_dtype,

@@ -38,14 +38,32 @@ def pad_views(w2c, K, images, axis_size: int):
     return w2c, K, images, weights
 
 
+def pad_picks(pick, axis_size: int):
+    """Pad a (V,) view-index vector to a multiple of the mesh axis; returns
+    (padded_pick, weights) with weights 1 for real entries, 0 for padding
+    (padding repeats index 0 — weight-masked downstream).  Single home for
+    the pick-padding recipe used by stage2.train, the driver dry-run, and
+    the distributed tests."""
+    v = pick.shape[0]
+    pad = (-v) % axis_size
+    weights = jnp.concatenate([jnp.ones((v,)), jnp.zeros((pad,))])
+    if pad:
+        pick = jnp.concatenate(
+            [pick, jnp.zeros((pad,), pick.dtype)], axis=0
+        )
+    return pick, weights
+
+
 def make_camera_sharded_image_losses(
     mesh: Mesh, camera_static: Camera, renderer: str, binning
 ):
-    """Returns image_losses(args, w2c, K, images, weights) -> (l1_sum, ssim_sum)
-    with views sharded over the ``cameras`` mesh axis.
+    """Returns image_losses(args, w2c, K, images, weights) ->
+    (l1_sum, ssim_sum, overflow_max) with views sharded over the ``cameras``
+    mesh axis.
 
-    `args` (activated cloud) is replicated; outputs are replicated sums
-    identical to the single-device computation.
+    `args` (activated cloud) is replicated; the loss outputs are replicated
+    sums identical to the single-device computation, and overflow_max is the
+    pmax'd binning-overflow flag across all views.
     """
 
     def local(args, w2c, K, images, weights):

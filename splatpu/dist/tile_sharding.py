@@ -19,10 +19,10 @@ from jax import shard_map
 
 from splatpu.core.types import Camera, RenderArgs
 from splatpu.render.api import render, render_dual
-from splatpu.render.binning import TILE
+from splatpu.render.binning import DEFAULT_TILE, TILE
 
 
-def strip_height(height: int, n_shards: int, tile: int = TILE) -> int:
+def strip_height(height: int, n_shards: int, tile: int = DEFAULT_TILE) -> int:
     """Rows per shard: tile-aligned, covering the (padded) image."""
     tiles_y = -(-height // tile)
     tiles_per_shard = -(-tiles_y // n_shards)
@@ -35,7 +35,7 @@ def make_tile_sharded_render(
     """Returns render_strips(args, w2c, K) -> (C, H_pad, W) image sharded over
     the ``axis`` mesh axis (caller crops to camera.height)."""
     n = mesh.shape[axis]
-    sh = strip_height(camera.height, n, binning.tile if binning else TILE)
+    sh = strip_height(camera.height, n, binning.tile if binning else DEFAULT_TILE)
 
     strip_camera = Camera(
         w2c=camera.w2c,
@@ -101,7 +101,7 @@ def make_tile_sharded_render_dual(
     IS the full-image gradient.
     """
     n = mesh.shape[axis]
-    sh = strip_height(camera.height, n, binning.tile if binning else TILE)
+    sh = strip_height(camera.height, n, binning.tile if binning else DEFAULT_TILE)
     strip_cam = _strip_camera(camera, sh)
 
     def local(args: RenderArgs, colors_b, w2c, K):

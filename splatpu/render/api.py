@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from splatpu.core.types import Camera, RenderArgs
-from splatpu.render.binning import BinningConfig
+from splatpu.render.binning import DEFAULT_TILE, BinningConfig
 from splatpu.render.oracle import render_oracle
 from splatpu.render.stream import render_stream
 from splatpu.render.types import RenderOutput
@@ -50,7 +50,9 @@ def render(
     if impl == "auto":
         impl = "pallas" if _on_tpu() else "stream"
     if config is None:
-        config = default_config(args.n)
+        # The first-generation padded path is fixed at 16x16 tiles.
+        tile = 16 if impl == "pallas_padded" else DEFAULT_TILE
+        config = default_config(args.n, tile=tile)
     if impl == "oracle":
         return render_oracle(args, camera, bg)
     if impl == "stream":
@@ -89,7 +91,8 @@ def render_dual(
     if impl == "auto":
         impl = "pallas" if _on_tpu() else "stream"
     if config is None:
-        config = default_config(args.n)
+        tile = 16 if impl == "pallas_padded" else DEFAULT_TILE
+        config = default_config(args.n, tile=tile)
     if impl == "oracle":
         out_a = render_oracle(args, camera, bg)
         seg_args = args.replace(
@@ -157,7 +160,7 @@ def render_dual(
     )
 
 
-def default_config(n_gaussians: int, tile: int = 32) -> BinningConfig:
+def default_config(n_gaussians: int, tile: int = DEFAULT_TILE) -> BinningConfig:
     """Product-default binning: 32px tiles with a ~4-pairs-per-Gaussian
     budget (16px tiles need ~8: measured 664k vs 318k pairs at the 100k/720p
     bench scene).  Budgets are rounded up to the chunk size — every
@@ -171,3 +174,18 @@ def default_config(n_gaussians: int, tile: int = 32) -> BinningConfig:
     budget = min(max(n_gaussians * per_gaussian, 1 << 12), 1 << 21)
     budget = -(-budget // chunk) * chunk
     return dataclasses.replace(cfg, max_pairs=budget)
+
+
+def resolve_binning(
+    n_gaussians: int,
+    config: BinningConfig | None = None,
+    overrides: dict | None = None,
+) -> BinningConfig:
+    """An explicit config wins; otherwise the n-scaled default heuristic with
+    individual field `overrides` applied ON TOP (a single CLI flag like
+    --tile must not discard the budget heuristic for every other field)."""
+    if config is not None:
+        return config
+    ov = dict(overrides or {})
+    tile = ov.pop("tile", DEFAULT_TILE)
+    return dataclasses.replace(default_config(n_gaussians, tile=tile), **ov)

@@ -33,8 +33,11 @@ from flax import struct
 from splatpu.core.projection import Splats2D, preprocess
 from splatpu.core.types import Camera, RenderArgs
 
-TILE = 16  # default pixels per tile side (256-pixel tiles, like the CUDA
+TILE = 16  # legacy pixels per tile side (256-pixel tiles, like the CUDA
            # kernel); the exact path reads BinningConfig.tile instead.
+DEFAULT_TILE = 32  # product-default tile side (api.default_config); code
+                   # that sizes shards/strips without an explicit
+                   # BinningConfig must assume THIS, not TILE.
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1337,6 +1337,11 @@ def composite_exact(
             "kernel='grid' supports max_pairs <= 2^24 (f32-exact pair"
             f" positions); got {config.max_pairs}. Use kernel='manual'."
         )
+    if config.scan == "prod" and config.kernel != "grid":
+        # The multiplicative transmittance carry exists only as branches in
+        # the grid kernels; _SCANS has no 'prod' entry, so the manual path
+        # would die with a bare KeyError mid-trace.
+        raise ValueError("scan='prod' requires kernel='grid'")
 
     tiles_x, tiles_y = tile_grid(camera, config.tile)
     num_tiles = tiles_x * tiles_y

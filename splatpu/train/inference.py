@@ -10,6 +10,7 @@ mp4s, and the mean image loss vs the real views is reported per timestep.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from collections import defaultdict
 from pathlib import Path
 from typing import Optional
@@ -122,34 +123,42 @@ def run_inference(
         return jax.vmap(lambda w2c, K: render_view(cloud, w2c, K))(w2cs, Ks)
 
     # Per-timestep evaluation vs the REAL views (`train.py:598-613`): one
-    # batched render over all cameras of the timestep and ONE scalar fetch,
-    # instead of the reference's eager per-view render + `.item()` loop
-    # (27 cams x 150 timesteps of tunnel round-trips would dominate
-    # inference wall-clock on TPU).
-    eval_camera_static = None
-    if views_by_timestep is not None:
-        v0 = views_by_timestep[0][0]
-        eval_camera_static = Camera(
-            w2c=jnp.asarray(v0.w2c), K=jnp.asarray(v0.K),
-            width=v0.width, height=v0.height,
+    # batched render per RESOLUTION GROUP of the timestep's cameras and one
+    # scalar fetch, instead of the reference's eager per-view render +
+    # `.item()` loop (27 cams x 150 timesteps of tunnel round-trips would
+    # dominate inference wall-clock on TPU).  Grouping by (width, height)
+    # keeps mixed-resolution captures working: image sizes are jit-static,
+    # so each group gets its own compiled shape (cached across timesteps).
+    @functools.lru_cache(maxsize=None)
+    def _batched_loss_for(width: int, height: int):
+        cam_static = Camera(
+            w2c=jnp.eye(4), K=jnp.eye(3), width=width, height=height
         )
 
-    @jax.jit
-    def batched_mean_image_loss(cloud: GaussianCloud, w2cs, Ks, targets):
-        def one(w2c, K, target):
-            cam = eval_camera_static.replace(w2c=w2c, K=K)
-            out = render(
-                activate_cloud(cloud), cam, impl=impl, config=config.binning
-            )
-            return image_loss(out.image, target)
+        @jax.jit
+        def batched_sum_image_loss(cloud: GaussianCloud, w2cs, Ks, targets):
+            def one(w2c, K, target):
+                cam = cam_static.replace(w2c=w2c, K=K)
+                out = render(
+                    activate_cloud(cloud), cam, impl=impl, config=config.binning
+                )
+                return image_loss(out.image, target)
 
-        return jnp.mean(jax.vmap(one)(w2cs, Ks, targets))
+            return jnp.sum(jax.vmap(one)(w2cs, Ks, targets))
+
+        return batched_sum_image_loss
 
     def eval_mean_image_loss(cloud, views):
-        w2cs = jnp.asarray(np.stack([v.w2c for v in views]))
-        Ks = jnp.asarray(np.stack([v.K for v in views]))
-        targets = jnp.asarray(np.stack([v.image for v in views]))
-        return batched_mean_image_loss(cloud, w2cs, Ks, targets)
+        groups = defaultdict(list)
+        for v in views:
+            groups[(int(v.width), int(v.height))].append(v)
+        total = 0.0
+        for (w, h), vs in groups.items():
+            w2cs = jnp.asarray(np.stack([v.w2c for v in vs]))
+            Ks = jnp.asarray(np.stack([v.K for v in vs]))
+            targets = jnp.asarray(np.stack([v.image for v in vs]))
+            total = total + _batched_loss_for(w, h)(cloud, w2cs, Ks, targets)
+        return total / len(views)
 
     def export_views(cloud, timestep: int):
         imgs = np.asarray(render_all_views(cloud, all_w2c, all_K))

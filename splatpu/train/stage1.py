@@ -51,6 +51,9 @@ class Stage1Config:
     densify: DensifyConfig = DensifyConfig()
     renderer: str = "auto"
     binning: Optional[BinningConfig] = None
+    binning_overrides: Optional[dict] = None  # individual field overrides,
+                          # applied on top of the n-scaled default heuristic
+                          # when `binning` is None (render.api.resolve_binning)
     mesh_tiles: int = 0   # > 0: shard each render into this many image strips
                           # over a `tiles` mesh axis (stage 1 renders ONE
                           # camera per iteration, so tiles are the axis that
@@ -233,6 +236,17 @@ def fit(
 
     capacity = int(point_cloud.shape[0] * config.capacity_factor)
     capacity = -(-capacity // 256) * 256
+    # Resolve the binning config ONCE, with the capacity-scaled heuristic as
+    # the base for any CLI field overrides; everything downstream (step fns,
+    # budget growth, checkpoints) sees an explicit config.
+    from splatpu.render.api import resolve_binning
+
+    config = dataclasses.replace(
+        config,
+        binning=resolve_binning(
+            capacity, config.binning, config.binning_overrides
+        ),
+    )
     cloud = initialize_cloud(point_cloud, capacity)
     v0 = views[0]
     camera_static = Camera(
@@ -259,6 +273,7 @@ def fit(
     rng = np.random.default_rng(config.seed)
     key = jax.random.PRNGKey(config.seed)  # raw key: msgpack-serializable
     start_iter = 0
+    resumed_growths = 0
     if resume_from is not None:
         template = {
             "cloud": cloud,
@@ -266,6 +281,9 @@ def fit(
             "stats": stats,
             "key": key,
             "i": jnp.int32(0),
+            "max_pairs": jnp.int32(config.binning.max_pairs),
+            "max_span": jnp.int32(config.binning.max_span),
+            "growths": jnp.int32(0),
         }
         restored = load_checkpoint(resume_from, template)
         cloud = restored["cloud"]
@@ -274,6 +292,23 @@ def fit(
         key = restored["key"]
         start_iter = int(restored["i"]) + 1
         rng = np.random.default_rng(config.seed + start_iter)
+        # Adopt a checkpointed auto-grown pair budget: without this, a
+        # resumed run reverts to the initial budget and silently drops
+        # splats (re-paying every growth recompile) until overflow is
+        # re-detected.
+        resumed_growths = int(restored["growths"])
+        if int(restored["max_pairs"]) > config.binning.max_pairs:
+            config = dataclasses.replace(
+                config,
+                binning=dataclasses.replace(
+                    config.binning,
+                    max_pairs=int(restored["max_pairs"]),
+                    max_span=int(restored["max_span"]),
+                ),
+            )
+            train_step, mutate_step, adam = make_step_fns(
+                camera_static, config, scene_radius
+            )
 
     buffer: list[int] = []
     dcfg = config.densify
@@ -283,7 +318,7 @@ def fit(
 
         iterator = tqdm.tqdm(iterator, desc="stage1", initial=start_iter)
     metrics = {}
-    growths = 0
+    growths = resumed_growths
     for i in iterator:
         if not buffer:
             buffer = list(rng.permutation(len(dev_views)))
@@ -295,11 +330,8 @@ def fit(
             and i % config.overflow_check_every == 0
             and float(metrics.get("binning_overflow", 0.0)) > 0.0
         ):
-            from splatpu.render.api import default_config as _default_config
-
-            binning = config.binning or _default_config(capacity)
             grown = dataclasses.replace(
-                binning,
+                config.binning,
                 max_pairs=min(binning.max_pairs * 2, 1 << 24),
                 max_span=binning.max_span * 2,
             )
@@ -347,6 +379,9 @@ def fit(
                     "stats": stats,
                     "key": key,
                     "i": jnp.int32(i),
+                    "max_pairs": jnp.int32(config.binning.max_pairs),
+                    "max_span": jnp.int32(config.binning.max_span),
+                    "growths": jnp.int32(growths),
                 },
             )
     if logger is not None:

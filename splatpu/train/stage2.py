@@ -58,6 +58,9 @@ class Stage2Config:
     timestep_count: int = 10
     renderer: str = "auto"
     binning: Optional[BinningConfig] = None
+    binning_overrides: Optional[dict] = None  # individual field overrides over
+                                 # the n-scaled default (render.api
+                                 # .resolve_binning), used when binning is None
     quirk_compat: bool = True
     compute_dtype: str = "auto"  # "auto" = bfloat16 on TPU, float32 elsewhere
                                  # (stage-2 MLP parity validated: PSNR 22.898
@@ -284,6 +287,18 @@ def train(
 ):
     """Full stage-2 training loop (`train.py:728-776`)."""
     from splatpu.io.checkpoint import load_checkpoint, save_checkpoint
+
+    if config.binning is None:
+        # Resolve once with the capacity-scaled heuristic as the base for
+        # any CLI field overrides (render.api.resolve_binning semantics).
+        from splatpu.render.api import resolve_binning
+
+        config = dataclasses.replace(
+            config,
+            binning=resolve_binning(
+                initial_cloud.capacity, None, config.binning_overrides
+            ),
+        )
     (
         cloud,
         fg_idx,
@@ -372,11 +387,6 @@ def train(
         host = config.view_staging == "host"
         if host:
             prefetched = jax.device_put(staged[0][2][picks[0]])
-        # Padded sample size + weights for the camera-sharded step (the view
-        # sample rarely divides a TPU mesh axis; padding views carry weight 0).
-        if distributed:
-            pad = (-v) % config.mesh_cameras
-            weights = jnp.concatenate([jnp.ones((v,)), jnp.zeros((pad,))])
         for timestep in range(1, t_count + 1):
             step_idx = seq_it * t_count + timestep
             all_w2c, all_K, all_images = staged[timestep - 1]
@@ -395,9 +405,13 @@ def train(
                     all_images, pick, all_w2c, all_K
                 )
             if distributed:
-                pick_arg = np.concatenate(
-                    [pick_arg, np.repeat(pick_arg[:1], pad)]
-                ).astype(np.int32)
+                # The view sample rarely divides a TPU mesh axis; padding
+                # picks carry weight 0 (splatpu.dist.sharding.pad_picks).
+                from splatpu.dist.sharding import pad_picks
+
+                pick_arg, weights = pad_picks(
+                    jnp.asarray(pick_arg, jnp.int32), config.mesh_cameras
+                )
                 extra = (pick_arg, weights)
             else:
                 extra = (pick_arg, camera_static)

@@ -48,3 +48,61 @@ def test_stage1_checkpoint_and_resume(tmp_path):
     # Resumed run continued from the checkpointed cloud, not from scratch.
     assert not np.allclose(np.asarray(cloud_b.means), np.asarray(cloud_a.means)) or True
     assert int(cloud_b.n_alive()) == int(cloud_a.n_alive())
+
+
+def test_resume_adopts_grown_pair_budget(tmp_path):
+    """A checkpoint written after auto budget growth must restore the grown
+    budget — not revert to the initial default and silently drop splats
+    until overflow is re-detected."""
+    from flax import serialization
+
+    from splatpu.io.checkpoint import save_checkpoint
+
+    truth = make_random_cloud(jax.random.key(1), 40, extent=0.8)
+    cams = ring_cameras(3)
+    views = make_views(truth, cams)
+    pc = np.concatenate(
+        [
+            np.asarray(truth.means),
+            np.asarray(truth.colors),
+            (np.asarray(truth.segmentation_masks)[:, :1] > 0.5).astype(np.float32),
+        ],
+        axis=1,
+    )
+    ckpt = tmp_path / "s1.msgpack"
+    base = Stage1Config(
+        iterations=4,
+        capacity_factor=2.0,
+        renderer="stream",
+        binning=BinningConfig(max_span=64, max_pairs=1 << 12, chunk_pairs=256),
+        densify=DensifyConfig(mutate_start=1000),
+        checkpoint_every=2,
+        checkpoint_path=str(ckpt),
+    )
+    fit(pc, views, scene_radius=4.0, config=base)
+
+    # Simulate a grown-budget checkpoint: bump the recorded max_pairs.
+    import jax.numpy as jnp
+
+    raw = serialization.msgpack_restore(ckpt.read_bytes())
+    raw["max_pairs"] = jnp.int32(1 << 13)
+    raw["max_span"] = jnp.int32(128)
+    raw["growths"] = jnp.int32(1)
+    save_checkpoint(ckpt, raw)
+
+    captured = {}
+    import splatpu.train.stage1 as s1
+
+    orig = s1.make_step_fns
+
+    def spy(camera_static, config, scene_radius):
+        captured["max_pairs"] = config.binning.max_pairs
+        return orig(camera_static, config, scene_radius)
+
+    s1.make_step_fns = spy
+    try:
+        more = dataclasses.replace(base, iterations=6)
+        fit(pc, views, scene_radius=4.0, config=more, resume_from=ckpt)
+    finally:
+        s1.make_step_fns = orig
+    assert captured["max_pairs"] == 1 << 13

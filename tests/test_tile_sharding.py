@@ -27,13 +27,17 @@ def test_strip_render_matches_full_render():
 
     sharded = make_tile_sharded_render(mesh, cam, renderer="stream", binning=BIN)
     strips = jax.jit(sharded)(args, cam.w2c, cam.K)
-    assert strips.shape[1] == strip_height(cam.height, n) * n
+    assert strips.shape[1] == strip_height(cam.height, n, BIN.tile) * n
     got = strips[:, : cam.height, :]
 
     np.testing.assert_allclose(np.asarray(got), np.asarray(full), atol=2e-5)
 
 
 def test_strip_height_alignment():
-    assert strip_height(720, 8) % 16 == 0
+    # Default tile matches render.api's product default (32px).
+    assert strip_height(720, 8) % 32 == 0
     assert strip_height(720, 8) * 8 >= 720
-    assert strip_height(64, 4) == 16
+    assert strip_height(64, 4) == 32
+    # Explicit 16px tiles restore the legacy strip sizes.
+    assert strip_height(720, 8, 16) % 16 == 0
+    assert strip_height(64, 4, 16) == 16
