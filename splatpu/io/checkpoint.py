@@ -36,7 +36,41 @@ CLOUD_KEYS = (
 )
 
 
-def save_cloud(path: Path, cloud: GaussianCloud):
+def compact_cloud(cloud: GaussianCloud, round_to: int = 256) -> GaussianCloud:
+    """Pack live Gaussians to the front and shrink capacity to the smallest
+    `round_to` multiple that holds them.
+
+    The reference's exported artifact holds ONLY live Gaussians
+    (`densify.py:190-198` saves the dense parameter dict); our fixed-capacity
+    dead slots are a training-time implementation detail.  Compacting at
+    export also right-sizes every capacity-scaled budget downstream (stage-2
+    binning, kNN, deformation batch) — a 240k-capacity cloud with 40k alive
+    would otherwise pay 6x in stage 2."""
+    import jax.numpy as jnp
+
+    alive = np.asarray(cloud.alive)
+    idx = np.nonzero(alive)[0]
+    n = max(len(idx), 1)
+    # Never grow a cloud smaller than one rounding unit.
+    cap = min(-(-n // round_to) * round_to, cloud.capacity)
+
+    def take(a):
+        a = np.asarray(a)
+        out = np.zeros((cap,) + a.shape[1:], a.dtype)
+        out[: len(idx)] = a[idx]
+        return jnp.asarray(out)
+
+    new_alive = np.zeros((cap,), bool)
+    new_alive[: len(idx)] = True
+    return GaussianCloud(
+        alive=jnp.asarray(new_alive),
+        **{k: take(getattr(cloud, k)) for k in CLOUD_KEYS if k != "alive"},
+    )
+
+
+def save_cloud(path: Path, cloud: GaussianCloud, compact: bool = True):
+    if compact:
+        cloud = compact_cloud(cloud)
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     np.savez_compressed(

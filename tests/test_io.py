@@ -26,8 +26,40 @@ def test_cloud_roundtrip(tmp_path):
     cloud = make_random_cloud(jax.random.key(0), 20, capacity=32)
     save_cloud(tmp_path / "c.npz", cloud)
     back = load_cloud(tmp_path / "c.npz")
-    for k in ("means", "colors", "opacity_logits", "alive"):
-        np.testing.assert_array_equal(np.asarray(getattr(back, k)), np.asarray(getattr(cloud, k)))
+    # Live rows round-trip exactly; dead-slot values are not part of the
+    # artifact contract (save_cloud compacts, zeroing dead padding).
+    np.testing.assert_array_equal(np.asarray(back.alive), np.asarray(cloud.alive))
+    for k in ("means", "colors", "opacity_logits"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(back, k))[:20], np.asarray(getattr(cloud, k))[:20]
+        )
+
+
+def test_save_cloud_compacts_dead_slots(tmp_path):
+    """Exported artifacts hold only live Gaussians (reference
+    `densify.py:190-198` saves the dense dict); capacity shrinks to the
+    smallest 256-multiple and live rows pack to the front."""
+    from splatpu.io.checkpoint import compact_cloud
+
+    cloud = make_random_cloud(jax.random.key(1), 300, capacity=1024)
+    alive = np.zeros((1024,), bool)
+    keep = np.random.default_rng(0).choice(300, size=100, replace=False)
+    alive[keep] = True
+    cloud = cloud.replace(alive=jnp.asarray(alive))
+
+    save_cloud(tmp_path / "c.npz", cloud)
+    back = load_cloud(tmp_path / "c.npz")
+    assert back.capacity == 256
+    assert int(back.n_alive()) == 100
+    np.testing.assert_array_equal(np.asarray(back.alive)[:100], True)
+    np.testing.assert_allclose(
+        np.sort(np.asarray(back.means)[:100], axis=0),
+        np.sort(np.asarray(cloud.means)[np.sort(keep)], axis=0),
+    )
+    # Identity on an already-compact cloud.
+    same = compact_cloud(back)
+    assert same.capacity == back.capacity
+    np.testing.assert_array_equal(np.asarray(same.means), np.asarray(back.means))
 
 
 def test_checkpoint_roundtrip(tmp_path):
