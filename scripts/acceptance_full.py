@@ -64,13 +64,23 @@ def render_views(jax, np, cloud, cams, uint8=False, with_seg=True):
     from splatpu.core.types import activate_cloud
     from splatpu.render.api import render
 
+    # The jitted batch below quantizes on-device when uint8; seg masks must
+    # stay f32, so the two modes are mutually exclusive (stage 2 stages
+    # uint8 images and no segs; stage 1 stages f32 images + segs).
+    assert not (uint8 and with_seg)
+
     @jax.jit
     def batch(args, w2cs, Ks):
         def one(w2c, K):
             cam = cams[0].replace(w2c=w2c, K=K)
             return render(args, cam).image
 
-        return jax.vmap(one)(w2cs, Ks)
+        imgs = jax.vmap(one)(w2cs, Ks)
+        if uint8:
+            # Quantize on device: the host fetch through the TPU tunnel is
+            # bandwidth-bound, and uint8 is 4x smaller than f32.
+            imgs = jnp.rint(jnp.clip(imgs, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+        return imgs
 
     margs = activate_cloud(cloud)
     w2cs = jnp.stack([c.w2c for c in cams])
@@ -89,11 +99,10 @@ def render_views(jax, np, cloud, cams, uint8=False, with_seg=True):
         v.camera_index = i
         v.w2c, v.K = np.asarray(cam.w2c), np.asarray(cam.K)
         v.width, v.height = WIDTH, HEIGHT
-        img = np.clip(imgs[i], 0.0, 1.0)
         if uint8:
-            v.image = np.rint(img * 255.0).astype(np.uint8)
+            v.image = imgs[i]  # already uint8 from the device
         else:
-            v.image = img.astype(np.float32)
+            v.image = np.clip(imgs[i], 0.0, 1.0).astype(np.float32)
         if segs is not None:
             v.segmentation = segs[i].astype(np.float32)
         views.append(v)
@@ -212,13 +221,50 @@ def run_stage2(args):
         return truth.replace(means=jnp.asarray(m))
 
     print(f"[{time.time()-t0:.0f}s] rendering {args.timesteps} timesteps x {CAMERAS} cams (uint8 host staging)")
-    views_by_timestep = []
-    for t in range(1, args.timesteps + 1):
-        views_by_timestep.append(
-            render_views(jax, np, moved_cloud(t), cams, uint8=True, with_seg=False)
+
+    from splatpu.core.types import activate_cloud as _activate
+    from splatpu.render.api import render as _render
+
+    w2cs = jnp.stack([jnp.asarray(c.w2c) for c in cams])
+    Ks = jnp.stack([jnp.asarray(c.K) for c in cams])
+
+    @jax.jit
+    def stage_batch(margs):
+        def one(w2c, K):
+            cam = cams[0].replace(w2c=w2c, K=K)
+            return _render(margs, cam).image
+
+        imgs = jax.vmap(one)(w2cs, Ks)
+        return jnp.rint(jnp.clip(imgs, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+    # Staged ground truth is deterministic (seeded); cache the uint8 frames on
+    # disk so a re-run (e.g. after an OOM in training) skips ~10 min of
+    # rendering + tunnel fetches.  memmap'd load: the host-staging path only
+    # reads the picked views per step.
+    cache = out_dir / f"staged_views_t{args.timesteps}_c{CAMERAS}.npy"
+    if cache.exists():
+        all_imgs = np.load(cache, mmap_mode="r")
+        print(f"  staged views loaded from cache: {cache}")
+    else:
+        all_imgs = np.empty(
+            (args.timesteps, CAMERAS, HEIGHT, WIDTH, 3), np.uint8
         )
-        if t % 25 == 0:
-            print(f"  [{time.time()-t0:.0f}s] {t}/{args.timesteps}")
+        for t in range(1, args.timesteps + 1):
+            all_imgs[t - 1] = np.asarray(stage_batch(_activate(moved_cloud(t))))
+            if t % 25 == 0:
+                print(f"  [{time.time()-t0:.0f}s] {t}/{args.timesteps}")
+        np.save(cache, all_imgs)
+    views_by_timestep = []
+    for t in range(args.timesteps):
+        vs = []
+        for i, cam in enumerate(cams):
+            v = ViewLike()
+            v.camera_index = i
+            v.w2c, v.K = np.asarray(cam.w2c), np.asarray(cam.K)
+            v.width, v.height = WIDTH, HEIGHT
+            v.image = all_imgs[t, i]
+            vs.append(v)
+        views_by_timestep.append(vs)
 
     logger = MetricsLogger(jsonl_path=out_dir / "stage2_metrics.jsonl")
     cfg = Stage2Config(

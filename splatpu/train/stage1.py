@@ -332,8 +332,8 @@ def fit(
         ):
             grown = dataclasses.replace(
                 config.binning,
-                max_pairs=min(binning.max_pairs * 2, 1 << 24),
-                max_span=binning.max_span * 2,
+                max_pairs=min(config.binning.max_pairs * 2, 1 << 24),
+                max_span=config.binning.max_span * 2,
             )
             config = dataclasses.replace(config, binning=grown)
             train_step, mutate_step, adam = make_step_fns(

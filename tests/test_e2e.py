@@ -105,6 +105,52 @@ class TestStage1EndToEnd:
         assert int(cloud.n_alive()) > 0
 
 
+class TestStage1BudgetGrowth:
+    def test_overflow_grows_budget_and_training_continues(self):
+        """Regression: the auto-growth path in fit() referenced an undefined
+        `binning` local (NameError) — exercise growth end-to-end through fit."""
+        truth = make_random_cloud(jax.random.key(2), 120, extent=0.8)
+        cams = ring_cameras(2)
+        views = make_views(truth, cams)
+        pc = np.concatenate(
+            [
+                np.asarray(truth.means),
+                np.asarray(truth.colors),
+                (np.asarray(truth.segmentation_masks)[:, :1] > 0.5).astype(np.float32),
+            ],
+            axis=1,
+        )
+        # A deliberately starved pair budget: every view overflows.
+        tiny = BinningConfig(max_span=4, max_pairs=128, chunk_pairs=128)
+        cfg = Stage1Config(
+            iterations=8,
+            capacity_factor=2.0,
+            renderer="stream",
+            binning=tiny,
+            grow_budget_on_overflow=True,
+            overflow_check_every=2,
+            max_budget_growths=2,
+            densify=DensifyConfig(
+                window_end=0, mutate_start=100, mutate_every=100,
+                opacity_reset_every=10_000,
+            ),
+        )
+        growth_events = []
+
+        class Capture:
+            def log(self, m, step):
+                if "budget_growth" in m:
+                    growth_events.append(dict(m))
+
+            def flush(self):
+                pass
+
+        cloud, metrics = fit(pc, views, scene_radius=4.0, config=cfg, logger=Capture())
+        assert growth_events, "starved budget never grew"
+        assert growth_events[0]["max_pairs"] == 256  # doubled from 128
+        assert np.isfinite(float(metrics["total_loss"]))
+
+
 class TestStage2EndToEnd:
     def test_train_runs_and_improves(self):
         key = jax.random.key(1)
