@@ -144,10 +144,14 @@ def run_stage1(args):
     cfg = Stage1Config(
         iterations=args.iters,
         capacity_factor=6.0,
-        checkpoint_every=5000,
+        checkpoint_every=2500,
         checkpoint_path=str(out_dir / "stage1_ckpt.msgpack"),
+        views_per_step=args.views_per_step,
     )
-    cloud, metrics = fit(pc, views, scene_radius=4.4, config=cfg, logger=logger, progress=True)
+    cloud, metrics = fit(
+        pc, views, scene_radius=4.4, config=cfg, logger=logger, progress=True,
+        resume_from=args.resume_from,
+    )
     dt = time.time() - t0
     print(f"[{dt:.0f}s] stage1 done; alive={int(cloud.n_alive())}")
 
@@ -329,6 +333,9 @@ def main():
     p.add_argument("--timesteps", type=int, default=150)
     p.add_argument("--out", default="/tmp/acceptance")
     p.add_argument("--cloud", default=None)
+    p.add_argument("--resume-from", default=None,
+                   help="stage1: resume fit() from this checkpoint path")
+    p.add_argument("--views-per-step", type=int, default=1)
     p.add_argument("--width", type=int, default=None)
     p.add_argument("--height", type=int, default=None)
     p.add_argument("--cameras", type=int, default=None)

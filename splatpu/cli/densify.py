@@ -83,6 +83,12 @@ def main(argv=None):
         help="shard each render into N image strips over a `tiles` device"
              " mesh axis (0 = single device)",
     )
+    p.add_argument(
+        "--views-per-step", type=int, default=1,
+        help="render N sampled cameras per iteration in one jitted step"
+             " (vmap-batched dual renders; densification statistics advance"
+             " as N reference iterations)",
+    )
     p.add_argument("--grad-threshold", type=float, default=None,
                    help="densification screen-gradient threshold (default 2e-4)")
     p.add_argument("--no-grow-budget", action="store_true",
@@ -115,6 +121,7 @@ def main(argv=None):
         renderer=args.renderer,
         binning_overrides=binning_from_args(args),
         mesh_tiles=args.mesh_tiles,
+        views_per_step=args.views_per_step,
         grow_budget_on_overflow=not args.no_grow_budget,
         seed=args.seed,
         checkpoint_every=args.checkpoint_every,

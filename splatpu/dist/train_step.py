@@ -112,4 +112,6 @@ def make_sharded_train_step(
         aux["grad_norm"] = grad_norm
         return net_params, opt_state, enc_prev, prev_fg, aux
 
-    return jax.jit(step)
+    from splatpu.core.tpuopts import train_step_compiler_options
+
+    return jax.jit(step, compiler_options=train_step_compiler_options())

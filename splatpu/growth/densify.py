@@ -97,6 +97,27 @@ def accumulate_stats(
     )
 
 
+def accumulate_stats_batch(
+    stats: DensifyStats, means2d_grads: jax.Array, radii: jax.Array
+) -> DensifyStats:
+    """Multi-view stage-1 step: accumulate V views' screen statistics in one
+    update.  Equivalent to V sequential `accumulate_stats` calls (the per-view
+    contributions are independent sums / a max), so a k-view step advances the
+    densification statistics exactly as k reference iterations would
+    (`external.py:113-124`).  `means2d_grads` is (V, CAP, 2), `radii` (V, CAP).
+    """
+    visible = radii > 0
+    gnorm = jnp.linalg.norm(means2d_grads[..., :2], axis=-1)
+    rmax = jnp.max(jnp.where(visible, radii, 0.0), axis=0)
+    return DensifyStats(
+        grad_accum=stats.grad_accum
+        + jnp.sum(jnp.where(visible, gnorm, 0.0), axis=0),
+        vis_count=stats.vis_count + jnp.sum(visible.astype(jnp.float32), axis=0),
+        # max with 0 is a no-op where no view saw the splat (max_radii >= 0).
+        max_radii=jnp.maximum(stats.max_radii, rmax),
+    )
+
+
 def _zero_moments_at(adam_state, mask):
     """Zero mu/nu rows where mask is True, for every cloud parameter leaf."""
     def z(leaf):

@@ -29,6 +29,7 @@ from splatpu.growth.densify import (
     DensifyConfig,
     DensifyStats,
     accumulate_stats,
+    accumulate_stats_batch,
     densify_and_prune,
     init_stats,
     reset_opacity,
@@ -58,6 +59,18 @@ class Stage1Config:
                           # over a `tiles` mesh axis (stage 1 renders ONE
                           # camera per iteration, so tiles are the axis that
                           # parallelizes; splatpu.dist.tile_sharding).
+    views_per_step: int = 1
+                          # > 1: render this many sampled cameras per
+                          # iteration in ONE jitted step (vmap-batched dual
+                          # renders sharing the activated cloud).  The loss is
+                          # the per-view MEAN (parameter-gradient scale stays
+                          # comparable to the reference's single view), while
+                          # the densification statistics accumulate each view
+                          # independently at reference magnitude — one k-view
+                          # iteration advances the stats like k reference
+                          # iterations.  TPU rationale: amortizes the fixed
+                          # per-execution dispatch and the cloud activation
+                          # over views, and k-samples the view set per step.
     # Pair-budget overflow handling: the binning pair budget is static
     # (shape-defining).  When a step reports `binning_overflow`, the budget is
     # doubled and the step functions are rebuilt (one recompile) — an
@@ -152,7 +165,64 @@ def make_step_fns(camera_static: Camera, config: Stage1Config, scene_radius: flo
 
     grad_fn = jax.grad(loss_fn, argnums=(0, 1), has_aux=True)
 
+    V = config.views_per_step
+    if V > 1 and config.mesh_tiles > 0:
+        raise ValueError(
+            "views_per_step > 1 cannot be combined with mesh_tiles (batch the"
+            " views OR shard one view's tiles)"
+        )
+
+    def loss_fn_batch(params, offsets, alive, w2cs, Ks, images, seg_targets):
+        """V-view step: one shared cloud activation, vmapped dual renders.
+        Each view gets its OWN means2d collector slice so the densification
+        statistics see per-view screen gradients (matching V reference
+        iterations), not their sum."""
+        cloud = GaussianCloud(alive=alive, **params)
+        base_args = activate_cloud(cloud)
+
+        def one(offset, w2c, K, image, seg_target):
+            camera = camera_static.replace(w2c=w2c, K=K)
+            args = base_args.replace(means2d_offset=offset)
+            out, seg_out = render_dual(
+                args,
+                cloud.segmentation_masks,
+                camera,
+                impl=config.renderer,
+                config=binning,
+            )
+            img_loss = image_loss(out.image, image)
+            seg_loss = image_loss(seg_out.image, seg_target)
+            total = img_loss + SEGMENTATION_WEIGHT * seg_loss
+            overflow = (out.overflowed | seg_out.overflowed).astype(jnp.float32)
+            return total, (out.radii, img_loss, seg_loss, overflow)
+
+        totals, (radii, img_l, seg_l, ovf) = jax.vmap(one)(
+            offsets, w2cs, Ks, images, seg_targets
+        )
+        total = jnp.mean(totals)
+        aux = {
+            "radii": radii,  # (V, CAP)
+            "image_loss": jnp.mean(img_l),
+            "segmentation_loss": jnp.mean(seg_l),
+            "total_loss": total,
+            "binning_overflow": jnp.max(ovf),
+        }
+        return total, aux
+
+    grad_fn_batch = jax.grad(loss_fn_batch, argnums=(0, 1), has_aux=True)
+
     def _compute(cloud, stats, w2c, K, image, seg_target):
+        if V > 1:
+            params = cloud.param_dict()
+            offsets = jnp.zeros((V, cloud.capacity, 2), jnp.float32)
+            (param_grads, offset_grads), aux = grad_fn_batch(
+                params, offsets, cloud.alive, w2c, K, image, seg_target
+            )
+            # The mean loss scales every gradient by 1/V; the reference's
+            # densification thresholds are calibrated on per-view magnitudes,
+            # so undo the scaling on the screen-space collector only.
+            stats = accumulate_stats_batch(stats, offset_grads * V, aux["radii"])
+            return param_grads, stats, aux
         params = cloud.param_dict()
         offset = jnp.zeros((cloud.capacity, 2), jnp.float32)
         (param_grads, offset_grad), aux = grad_fn(
@@ -161,7 +231,6 @@ def make_step_fns(camera_static: Camera, config: Stage1Config, scene_radius: flo
         stats = accumulate_stats(stats, offset_grad, aux["radii"])
         return param_grads, stats, aux
 
-    @jax.jit
     def train_step(cloud, opt_state, stats, w2c, K, image, seg_target, accumulate):
         """Non-mutation iteration: grads + Adam update (+ stat accumulation
         while in the densification window)."""
@@ -190,7 +259,6 @@ def make_step_fns(camera_static: Camera, config: Stage1Config, scene_radius: flo
         metrics["n_alive"] = cloud.n_alive()
         return cloud, opt_state, stats, metrics
 
-    @jax.jit
     def mutate_step(cloud, opt_state, stats, w2c, K, image, seg_target, key, i, do_reset):
         """Mutation iteration: grads feed the stats, then clone/split/prune
         (+ optional opacity reset). No Adam update (reference behavior — the
@@ -215,7 +283,37 @@ def make_step_fns(camera_static: Camera, config: Stage1Config, scene_radius: flo
         metrics.update({k: v for k, v in info.items()})
         return cloud, opt_state, stats, metrics
 
-    return train_step, mutate_step, adam
+    from splatpu.core.tpuopts import train_step_compiler_options
+
+    opts = train_step_compiler_options()
+    if V > 1:
+        # Multi-view steps take the FULL staged view set + this step's picks;
+        # the (V,)-gather runs in-jit (a host-side stack would cost an eager
+        # tunnel round-trip per step).
+        def train_step_v(
+            cloud, opt_state, stats, all_w2c, all_K, all_images, all_segs,
+            pick, accumulate,
+        ):
+            return train_step(
+                cloud, opt_state, stats, all_w2c[pick], all_K[pick],
+                all_images[pick], all_segs[pick], accumulate,
+            )
+
+        def mutate_step_v(
+            cloud, opt_state, stats, all_w2c, all_K, all_images, all_segs,
+            pick, key, i, do_reset,
+        ):
+            return mutate_step(
+                cloud, opt_state, stats, all_w2c[pick], all_K[pick],
+                all_images[pick], all_segs[pick], key, i, do_reset,
+            )
+
+        return jax.jit(train_step_v, compiler_options=opts), jax.jit(
+            mutate_step_v, compiler_options=opts
+        ), adam
+    return jax.jit(train_step, compiler_options=opts), jax.jit(
+        mutate_step, compiler_options=opts
+    ), adam
 
 
 def fit(
@@ -260,15 +358,25 @@ def fit(
     stats = init_stats(capacity)
 
     # Device-stage the views once (timestep 0 only, like `densify.py:212-216`).
-    dev_views = [
-        (
-            jnp.asarray(v.w2c),
-            jnp.asarray(v.K),
-            jnp.asarray(v.image),
-            jnp.asarray(v.segmentation),
+    V = config.views_per_step
+    if V > 1:
+        staged = (
+            jnp.asarray(np.stack([v.w2c for v in views])),
+            jnp.asarray(np.stack([v.K for v in views])),
+            jnp.asarray(np.stack([v.image for v in views])),
+            jnp.asarray(np.stack([v.segmentation for v in views])),
         )
-        for v in views
-    ]
+        dev_views = None
+    else:
+        dev_views = [
+            (
+                jnp.asarray(v.w2c),
+                jnp.asarray(v.K),
+                jnp.asarray(v.image),
+                jnp.asarray(v.segmentation),
+            )
+            for v in views
+        ]
 
     rng = np.random.default_rng(config.seed)
     key = jax.random.PRNGKey(config.seed)  # raw key: msgpack-serializable
@@ -319,10 +427,22 @@ def fit(
         iterator = tqdm.tqdm(iterator, desc="stage1", initial=start_iter)
     metrics = {}
     growths = resumed_growths
+    n_views = len(views)
     for i in iterator:
-        if not buffer:
-            buffer = list(rng.permutation(len(dev_views)))
-        w2c, K, image, seg = dev_views[buffer.pop()]
+        if V > 1:
+            # Pop V views from the without-replacement buffer (refilling as
+            # it drains) — the epoch structure of `densify.py:108-111` at V
+            # views per iteration.
+            sel = []
+            while len(sel) < V:
+                if not buffer:
+                    buffer = list(rng.permutation(n_views))
+                sel.append(buffer.pop())
+            pick = jnp.asarray(np.asarray(sel, np.int32))
+        else:
+            if not buffer:
+                buffer = list(rng.permutation(n_views))
+            w2c, K, image, seg = dev_views[buffer.pop()]
         if (
             config.grow_budget_on_overflow
             and growths < config.max_budget_growths
@@ -347,23 +467,34 @@ def fit(
                 )
         if dcfg.is_mutation_iter(i):
             key, sub = jax.random.split(key)
-            cloud, opt_state, stats, metrics = mutate_step(
-                cloud,
-                opt_state,
-                stats,
-                w2c,
-                K,
-                image,
-                seg,
-                sub,
-                jnp.int32(i),
-                dcfg.is_opacity_reset_iter(i),
-            )
+            if V > 1:
+                cloud, opt_state, stats, metrics = mutate_step(
+                    cloud, opt_state, stats, *staged, pick,
+                    sub, jnp.int32(i), dcfg.is_opacity_reset_iter(i),
+                )
+            else:
+                cloud, opt_state, stats, metrics = mutate_step(
+                    cloud,
+                    opt_state,
+                    stats,
+                    w2c,
+                    K,
+                    image,
+                    seg,
+                    sub,
+                    jnp.int32(i),
+                    dcfg.is_opacity_reset_iter(i),
+                )
         else:
             accumulate = i <= dcfg.window_end
-            cloud, opt_state, stats, metrics = train_step(
-                cloud, opt_state, stats, w2c, K, image, seg, accumulate
-            )
+            if V > 1:
+                cloud, opt_state, stats, metrics = train_step(
+                    cloud, opt_state, stats, *staged, pick, accumulate
+                )
+            else:
+                cloud, opt_state, stats, metrics = train_step(
+                    cloud, opt_state, stats, w2c, K, image, seg, accumulate
+                )
         if logger is not None:
             logger.log(metrics, step=i)
         if (

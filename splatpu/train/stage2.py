@@ -249,7 +249,9 @@ def make_train_step(optimizer, config: Stage2Config):
         aux["grad_norm"] = grad_norm
         return net_params, opt_state, enc_prev, prev_fg, aux
 
-    return jax.jit(step, static_argnames=())
+    from splatpu.core.tpuopts import train_step_compiler_options
+
+    return jax.jit(step, compiler_options=train_step_compiler_options())
 
 
 def rollout_step(

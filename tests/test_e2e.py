@@ -105,6 +105,49 @@ class TestStage1EndToEnd:
         assert int(cloud.n_alive()) > 0
 
 
+class TestStage1MultiView:
+    def test_views_per_step_trains_and_densifies(self):
+        """views_per_step=2: batched dual renders per step, densification
+        statistics advance per view, loss falls."""
+        truth = make_random_cloud(jax.random.key(3), 60, extent=0.8)
+        cams = ring_cameras(4)
+        views = make_views(truth, cams)
+        pc = np.concatenate(
+            [
+                np.asarray(truth.means),
+                np.asarray(truth.colors),
+                (np.asarray(truth.segmentation_masks)[:, :1] > 0.5).astype(np.float32),
+            ],
+            axis=1,
+        )
+        cfg = Stage1Config(
+            iterations=30,
+            capacity_factor=2.0,
+            renderer="stream",
+            binning=BIN,
+            views_per_step=2,
+            densify=DensifyConfig(
+                window_end=25, mutate_start=10, mutate_every=10,
+                opacity_reset_every=10_000,
+            ),
+        )
+        history = []
+
+        class Capture:
+            def log(self, m, step):
+                history.append({k: float(v) for k, v in m.items() if jnp.ndim(v) == 0})
+
+            def flush(self):
+                pass
+
+        cloud, metrics = fit(pc, views, scene_radius=4.0, config=cfg, logger=Capture())
+        first = np.mean([h["total_loss"] for h in history[:5]])
+        last = np.mean([h["total_loss"] for h in history[-5:]])
+        assert np.isfinite(last)
+        assert last < first
+        assert int(cloud.n_alive()) > 0
+
+
 class TestStage1BudgetGrowth:
     def test_overflow_grows_budget_and_training_continues(self):
         """Regression: the auto-growth path in fit() referenced an undefined

@@ -184,3 +184,24 @@ class TestCapacityOverflow:
         assert int(info["cloned"]) == 1
         assert int(info["dropped_for_capacity"]) == 15
         assert int(new_cloud.n_alive()) == 17
+
+
+class TestBatchedStats:
+    def test_batch_matches_sequential_accumulate(self):
+        """accumulate_stats_batch(V views) == V accumulate_stats calls."""
+        from splatpu.growth.densify import accumulate_stats_batch
+
+        rng = np.random.default_rng(0)
+        cap, V = 32, 4
+        grads = jnp.asarray(rng.standard_normal((V, cap, 2)).astype(np.float32))
+        radii = jnp.asarray(
+            (rng.uniform(0, 6, (V, cap)) * (rng.uniform(size=(V, cap)) > 0.4))
+            .astype(np.float32)
+        )
+        seq = init_stats(cap)
+        for v in range(V):
+            seq = accumulate_stats(seq, grads[v], radii[v])
+        bat = accumulate_stats_batch(init_stats(cap), grads, radii)
+        np.testing.assert_allclose(bat.grad_accum, seq.grad_accum, rtol=1e-6)
+        np.testing.assert_allclose(bat.vis_count, seq.vis_count)
+        np.testing.assert_allclose(bat.max_radii, seq.max_radii)
