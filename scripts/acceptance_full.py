@@ -251,7 +251,7 @@ def run_stage2(args):
         print(f"  staged views loaded from cache: {cache}")
     else:
         all_imgs = np.empty(
-            (args.timesteps, CAMERAS, HEIGHT, WIDTH, 3), np.uint8
+            (args.timesteps, CAMERAS, 3, HEIGHT, WIDTH), np.uint8
         )
         for t in range(1, args.timesteps + 1):
             all_imgs[t - 1] = np.asarray(stage_batch(_activate(moved_cloud(t))))

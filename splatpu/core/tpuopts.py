@@ -24,5 +24,9 @@ def train_step_compiler_options():
     (None off-TPU)."""
     if jax.default_backend() not in ("tpu", "axon"):
         return None
-    kib = int(os.environ.get("SPLATPU_SCOPED_VMEM_KIB", 48 * 1024))
+    # 24 MiB: comfortably above the ~19.2 MiB the pathological schedule asks
+    # for, while keeping scoped + Mosaic kernel VMEM within the chip's 128 MiB
+    # (a 48 MiB limit overcommitted alongside the kernels' 100 MiB budget and
+    # coincided with a TPU worker crash during a subsequent render).
+    kib = int(os.environ.get("SPLATPU_SCOPED_VMEM_KIB", 24 * 1024))
     return {"xla_tpu_scoped_vmem_limit_kib": str(kib)}
