@@ -288,6 +288,23 @@ def run_stage2(args):
     dt = time.time() - t0
     print(f"[{dt:.0f}s] stage2 done")
 
+    # Write the training-side result FIRST: the rollout eval renders below
+    # have crashed a TPU worker once, and losing the converged-loss evidence
+    # with them would waste the whole run.
+    logger.flush()
+    rows = [json.loads(l) for l in (out_dir / "stage2_metrics.jsonl").open()]
+    k = args.timesteps
+    result = {
+        "config": "BASELINE config 3 shape (synthetic juggle-like)",
+        "timesteps": args.timesteps,
+        "sequence_iterations": args.iters,
+        "total_steps": args.iters * args.timesteps,
+        "loss_first_seqit": float(np.mean([r["total"] for r in rows[:k]])),
+        "loss_last_seqit": float(np.mean([r["total"] for r in rows[-k:]])),
+        "wall_seconds": dt,
+    }
+    (out_dir / "stage2_result.json").write_text(json.dumps(result, indent=2))
+
     # Rollout PSNR vs ground truth at several timesteps.
     render_jit = jax.jit(
         lambda a, w2c, K: render(a, cams[0].replace(w2c=w2c, K=K)).image
@@ -309,18 +326,8 @@ def run_stage2(args):
             target = jnp.asarray(v.image.astype(np.float32) / 255.0)
             psnrs[f"t{t}"] = float(psnr(img, target))
 
-    rows = [json.loads(l) for l in (out_dir / "stage2_metrics.jsonl").open()]
-    k = args.timesteps
-    result = {
-        "config": "BASELINE config 3 shape (synthetic juggle-like)",
-        "timesteps": args.timesteps,
-        "sequence_iterations": args.iters,
-        "total_steps": args.iters * args.timesteps,
-        "loss_first_seqit": float(np.mean([r["total"] for r in rows[:k]])),
-        "loss_last_seqit": float(np.mean([r["total"] for r in rows[-k:]])),
-        "rollout_psnr": psnrs,
-        "wall_seconds": dt,
-    }
+    result["rollout_psnr"] = psnrs
+    result["wall_seconds"] = time.time() - t0
     (out_dir / "stage2_result.json").write_text(json.dumps(result, indent=2))
     logger.close()
     print(json.dumps(result, indent=2))
