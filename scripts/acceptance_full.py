@@ -334,6 +334,9 @@ def run_stage2(args):
 
 
 def main():
+    # Line-buffer stdout so progress lines reach a redirected log as they
+    # happen (long background runs are monitored by tailing the log).
+    sys.stdout.reconfigure(line_buffering=True)
     p = argparse.ArgumentParser()
     p.add_argument("stage", choices=["stage1", "stage2"])
     p.add_argument("--iters", type=int, default=None)
