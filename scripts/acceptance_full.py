@@ -57,6 +57,24 @@ class ViewLike:
     pass
 
 
+def staging_binning(jax, cloud, cams):
+    """Demand-sized binning for ground-truth staging renders: the targets
+    themselves must never be truncated (round-2 lesson — everything trained
+    downstream is only as good as the staged truth)."""
+    import jax.numpy as jnp
+
+    from splatpu.core.types import activate_cloud
+    from splatpu.render.api import demand_binning, measure_binning_demand
+
+    d_pairs, d_span = measure_binning_demand(
+        activate_cloud(cloud),
+        cams[0],
+        jnp.stack([c.w2c for c in cams]),
+        jnp.stack([c.K for c in cams]),
+    )
+    return demand_binning(d_pairs, d_span, headroom=1.5), d_pairs
+
+
 def render_views(jax, np, cloud, cams, uint8=False, with_seg=True):
     """Ground-truth views: one batched render + one stacked fetch."""
     import jax.numpy as jnp
@@ -68,31 +86,38 @@ def render_views(jax, np, cloud, cams, uint8=False, with_seg=True):
     # stay f32, so the two modes are mutually exclusive (stage 2 stages
     # uint8 images and no segs; stage 1 stages f32 images + segs).
     assert not (uint8 and with_seg)
+    binning, _ = staging_binning(jax, cloud, cams)
 
     @jax.jit
     def batch(args, w2cs, Ks):
         def one(w2c, K):
             cam = cams[0].replace(w2c=w2c, K=K)
-            return render(args, cam).image
+            out = render(args, cam, config=binning)
+            return out.image, out.overflowed
 
-        imgs = jax.vmap(one)(w2cs, Ks)
+        imgs, ovf = jax.vmap(one)(w2cs, Ks)
         if uint8:
             # Quantize on device: the host fetch through the TPU tunnel is
             # bandwidth-bound, and uint8 is 4x smaller than f32.
             imgs = jnp.rint(jnp.clip(imgs, 0.0, 1.0) * 255.0).astype(jnp.uint8)
-        return imgs
+        return imgs, jnp.any(ovf)
 
     margs = activate_cloud(cloud)
     w2cs = jnp.stack([c.w2c for c in cams])
     Ks = jnp.stack([c.K for c in cams])
-    imgs = np.asarray(batch(margs, w2cs, Ks))
+    imgs, ovf = batch(margs, w2cs, Ks)
+    assert not bool(ovf), "ground-truth staging render overflowed its budget"
+    imgs = np.asarray(imgs)
     # Segmentation targets are a stage-1 input only; at 150 timesteps x 27
     # cams the f32 masks would cost 44 GB of host RAM for nothing.
-    segs = (
-        np.asarray(batch(margs.replace(colors=cloud.segmentation_masks), w2cs, Ks))
-        if with_seg
-        else None
-    )
+    if with_seg:
+        segs, ovf = batch(
+            margs.replace(colors=cloud.segmentation_masks), w2cs, Ks
+        )
+        assert not bool(ovf), "seg staging render overflowed its budget"
+        segs = np.asarray(segs)
+    else:
+        segs = None
     views = []
     for i, cam in enumerate(cams):
         v = ViewLike()
@@ -227,34 +252,50 @@ def run_stage2(args):
     print(f"[{time.time()-t0:.0f}s] rendering {args.timesteps} timesteps x {CAMERAS} cams (uint8 host staging)")
 
     from splatpu.core.types import activate_cloud as _activate
-    from splatpu.render.api import render as _render
+    from splatpu.render.api import default_config, render as _render
 
     w2cs = jnp.stack([jnp.asarray(c.w2c) for c in cams])
     Ks = jnp.stack([jnp.asarray(c.K) for c in cams])
+
+    truth_binning, truth_demand = staging_binning(jax, truth, cams)
 
     @jax.jit
     def stage_batch(margs):
         def one(w2c, K):
             cam = cams[0].replace(w2c=w2c, K=K)
-            return _render(margs, cam).image
+            out = _render(margs, cam, config=truth_binning)
+            return out.image, out.overflowed
 
-        imgs = jax.vmap(one)(w2cs, Ks)
-        return jnp.rint(jnp.clip(imgs, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+        imgs, ovf = jax.vmap(one)(w2cs, Ks)
+        imgs = jnp.rint(jnp.clip(imgs, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+        return imgs, jnp.any(ovf)
 
     # Staged ground truth is deterministic (seeded); cache the uint8 frames on
     # disk so a re-run (e.g. after an OOM in training) skips ~10 min of
     # rendering + tunnel fetches.  memmap'd load: the host-staging path only
-    # reads the picked views per step.
+    # reads the picked views per step.  A cached file is only trusted if the
+    # heuristic budget it was rendered under actually held the measured truth
+    # demand (the round-2 cache predates demand-sized staging).
     cache = out_dir / f"staged_views_t{args.timesteps}_c{CAMERAS}.npy"
-    if cache.exists():
+    old_budget = default_config(int(truth.means.shape[0])).max_pairs
+    cache_valid = truth_demand <= old_budget
+    if cache.exists() and cache_valid:
         all_imgs = np.load(cache, mmap_mode="r")
-        print(f"  staged views loaded from cache: {cache}")
+        print(f"  staged views loaded from cache: {cache} "
+              f"(t=0 demand {truth_demand} <= staged budget {old_budget})")
     else:
+        if cache.exists():
+            print(
+                f"  cache INVALID (measured demand {truth_demand}"
+                f" pairs > old budget {old_budget}); re-rendering"
+            )
         all_imgs = np.empty(
             (args.timesteps, CAMERAS, 3, HEIGHT, WIDTH), np.uint8
         )
         for t in range(1, args.timesteps + 1):
-            all_imgs[t - 1] = np.asarray(stage_batch(_activate(moved_cloud(t))))
+            imgs_t, ovf_t = stage_batch(_activate(moved_cloud(t)))
+            assert not bool(ovf_t), f"truth staging overflow at t={t}"
+            all_imgs[t - 1] = np.asarray(imgs_t)
             if t % 25 == 0:
                 print(f"  [{time.time()-t0:.0f}s] {t}/{args.timesteps}")
         np.save(cache, all_imgs)
@@ -282,53 +323,108 @@ def run_stage2(args):
         checkpoint_every=5,
         checkpoint_path=str(out_dir / "stage2_ckpt.msgpack"),
     )
-    net_params, dense_cloud, enc_init, _ = train(
-        initial, views_by_timestep, cfg, logger=logger, progress=True
+
+    # The training/eval cloud and initial encoding, exactly as stage2.setup
+    # builds them (compacted stage-1 cloud) — needed BEFORE train() returns so
+    # mid-run rollout evals can run from the on_iteration hook.
+    from splatpu.dynamics.deform import normalize_and_encode_means_and_rotations
+    from splatpu.train.stage2 import compact_cloud
+
+    dense_cloud = compact_cloud(initial)
+    enc_init = normalize_and_encode_means_and_rotations(
+        dense_cloud.means, dense_cloud.rotation_quaternions,
+        quirk_compat=cfg.quirk_compat,
     )
-    dt = time.time() - t0
-    print(f"[{dt:.0f}s] stage2 done")
-
-    # Write the training-side result FIRST: the rollout eval renders below
-    # have crashed a TPU worker once, and losing the converged-loss evidence
-    # with them would waste the whole run.
-    logger.flush()
-    rows = [json.loads(l) for l in (out_dir / "stage2_metrics.jsonl").open()]
-    k = args.timesteps
-    result = {
-        "config": "BASELINE config 3 shape (synthetic juggle-like)",
-        "timesteps": args.timesteps,
-        "sequence_iterations": args.iters,
-        "total_steps": args.iters * args.timesteps,
-        "loss_first_seqit": float(np.mean([r["total"] for r in rows[:k]])),
-        "loss_last_seqit": float(np.mean([r["total"] for r in rows[-k:]])),
-        "wall_seconds": dt,
-    }
-    (out_dir / "stage2_result.json").write_text(json.dumps(result, indent=2))
-
-    # Rollout PSNR vs ground truth at several timesteps.
+    eval_binning, _ = staging_binning(jax, dense_cloud, cams)
     render_jit = jax.jit(
-        lambda a, w2c, K: render(a, cams[0].replace(w2c=w2c, K=K)).image
+        lambda a, w2c, K: render(
+            a, cams[0].replace(w2c=w2c, K=K), config=eval_binning
+        ).image
     )
     roll = jax.jit(
         lambda npar, c0, ei, ep, ts: rollout_step(npar, c0, ei, ep, ts, cfg)
     )
-    enc_prev = enc_init
-    psnrs = {}
-    for t in range(1, args.timesteps + 1):
-        rolled, enc_prev = roll(
-            net_params, dense_cloud, enc_init, enc_prev, jnp.float32(t)
-        )
-        if t in (1, args.timesteps // 2, args.timesteps):
-            v = views_by_timestep[t - 1][0]
-            img = render_jit(
-                activate_cloud(rolled), jnp.asarray(v.w2c), jnp.asarray(v.K)
-            )
-            target = jnp.asarray(v.image.astype(np.float32) / 255.0)
-            psnrs[f"t{t}"] = float(psnr(img, target))
 
-    result["rollout_psnr"] = psnrs
-    result["wall_seconds"] = time.time() - t0
-    (out_dir / "stage2_result.json").write_text(json.dumps(result, indent=2))
+    def eval_rollout(net_params):
+        """Autoregressive rollout PSNR vs ground truth at t=1, T/2, T
+        (`train.py:550-613` eval semantics, PSNR instead of image loss)."""
+        enc_prev = enc_init
+        psnrs = {}
+        for t in range(1, args.timesteps + 1):
+            rolled, enc_prev = roll(
+                net_params, dense_cloud, enc_init, enc_prev, jnp.float32(t)
+            )
+            if t in (1, args.timesteps // 2, args.timesteps):
+                v = views_by_timestep[t - 1][0]
+                img = render_jit(
+                    activate_cloud(rolled), jnp.asarray(v.w2c), jnp.asarray(v.K)
+                )
+                target = jnp.asarray(v.image.astype(np.float32) / 255.0)
+                psnrs[f"t{t}"] = float(psnr(img, target))
+        return psnrs
+
+    def overflow_stats():
+        path = out_dir / "stage2_metrics.jsonl"
+        if not path.exists():
+            return {}
+        rows = [json.loads(l) for l in path.open()]
+        flags = [r["binning_overflow"] for r in rows if "binning_overflow" in r]
+        return {
+            "steps_logged": len(flags),
+            "overflow_steps": int(sum(f > 0 for f in flags)),
+            "overflow_max": float(max(flags, default=0.0)),
+        }
+
+    psnr_series = []
+    result = {
+        "config": "BASELINE config 3 shape (synthetic juggle-like)",
+        "timesteps": args.timesteps,
+        "sequence_iterations_total": args.iters,
+    }
+
+    def write_result(seq_it_done, metrics, final=False):
+        # Incremental evidence: a run killed at ANY point leaves the latest
+        # numbers on disk (round-2 lesson — a 23/30-iteration run left no
+        # result file at all).
+        logger.flush()
+        result.update(
+            sequence_iterations_done=seq_it_done,
+            total_steps_done=seq_it_done * args.timesteps,
+            last_step={
+                k: float(v)
+                for k, v in (metrics or {}).items()
+                if np.ndim(v) == 0
+            },
+            binning=overflow_stats(),
+            rollout_psnr_series=psnr_series,
+            wall_seconds=time.time() - t0,
+            completed=final,
+        )
+        (out_dir / "stage2_result.json").write_text(json.dumps(result, indent=2))
+
+    def on_iteration(seq_it, net_params, resolved_cfg, metrics):
+        result["max_pairs"] = resolved_cfg.binning.max_pairs
+        done = seq_it + 1
+        if done % 5 == 0 or done == args.iters:
+            psnr_series.append({"seq_it": done, **eval_rollout(net_params)})
+            print(f"  [{time.time()-t0:.0f}s] rollout PSNR @ seqit {done}: "
+                  f"{psnr_series[-1]}")
+        write_result(done, metrics)
+
+    net_params, dense_cloud, enc_init, last_metrics = train(
+        initial, views_by_timestep, cfg, logger=logger, progress=True,
+        on_iteration=on_iteration,
+    )
+    dt = time.time() - t0
+    print(f"[{dt:.0f}s] stage2 done")
+
+    rows = [json.loads(l) for l in (out_dir / "stage2_metrics.jsonl").open()]
+    k = args.timesteps
+    totals = [r["total"] for r in rows if "total" in r]
+    result["loss_first_seqit"] = float(np.mean(totals[:k]))
+    result["loss_last_seqit"] = float(np.mean(totals[-k:]))
+    result["rollout_psnr"] = psnr_series[-1] if psnr_series else {}
+    write_result(args.iters, last_metrics, final=True)
     logger.close()
     print(json.dumps(result, indent=2))
 

@@ -189,3 +189,70 @@ def resolve_binning(
     ov = dict(overrides or {})
     tile = ov.pop("tile", DEFAULT_TILE)
     return dataclasses.replace(default_config(n_gaussians, tile=tile), **ov)
+
+
+def measure_binning_demand(
+    args: RenderArgs,
+    camera_static: Camera,
+    w2cs: jax.Array,     # (C, 4, 4)
+    Ks: jax.Array,       # (C, 3, 3)
+    tile: int = DEFAULT_TILE,
+) -> tuple[int, int]:
+    """Measured pair demand over a camera set: (max total pairs, max tiles
+    covered by a single Gaussian), pre-culling upper bounds.
+
+    The CUDA binner sizes its buffers from an InclusiveSum of per-Gaussian
+    tile counts every frame (SURVEY.md §2.1 step 2) and so can never drop a
+    splat.  On TPU the buffers are shape-defining, so the equivalent is:
+    measure the demand once at setup (one cheap preprocess per camera, no
+    compositing) and size the static budget from it with headroom — plus
+    grow-on-overflow as the runtime backstop.
+    """
+    from splatpu.core.projection import preprocess, tile_rect
+
+    tiles_x = -(-camera_static.width // tile)
+    tiles_y = -(-camera_static.height // tile)
+
+    @jax.jit
+    def demand(args, w2cs, Ks):
+        def one(w2c, K):
+            cam = camera_static.replace(w2c=w2c, K=K)
+            sp = preprocess(args, cam)
+            tx0, ty0, tx1, ty1 = tile_rect(
+                sp.mean2d, sp.radius, tiles_x, tiles_y, tile
+            )
+            count = jnp.where(sp.visible, (tx1 - tx0) * (ty1 - ty0), 0)
+            return jnp.sum(count), jnp.max(count)
+
+        totals, spans = jax.vmap(one)(w2cs, Ks)
+        return jnp.max(totals), jnp.max(spans)
+
+    total, span = demand(args, jnp.asarray(w2cs), jnp.asarray(Ks))
+    return int(total), int(span)
+
+
+def demand_binning(
+    demand_pairs: int,
+    demand_span: int,
+    tile: int = DEFAULT_TILE,
+    headroom: float = 2.0,
+    overrides: dict | None = None,
+) -> BinningConfig:
+    """Binning config sized from measured demand (`measure_binning_demand`)
+    with multiplicative headroom (the cloud moves during stage-2 training;
+    deformation deltas are small — 0.01-scaled, `train.py:303-307` — so 2x
+    covers drift, and grow-on-overflow backstops the rest)."""
+    ov = dict(overrides or {})
+    tile = ov.pop("tile", tile)
+    base = default_config(1, tile=tile)
+    chunk = base.chunk_pairs
+    budget = max(int(demand_pairs * headroom), 1 << 12)
+    budget = min(budget, 1 << 24)           # grid-kernel f32-exact guard
+    budget = -(-budget // chunk) * chunk
+    budget = min(budget, 1 << 24)
+    # Span: next power of two above demand (x2 drift headroom), floor at the
+    # default so span_small two-class routing stays effective.
+    span = max(int(demand_span * 2), base.max_span)
+    span = 1 << (span - 1).bit_length()
+    cfg = dataclasses.replace(base, max_pairs=budget, max_span=span)
+    return dataclasses.replace(cfg, **ov)

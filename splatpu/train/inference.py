@@ -29,6 +29,15 @@ RENDER_WIDTH = 1280   # `train.py:513`
 RENDER_HEIGHT = 720   # `train.py:514`
 
 
+def _group_by_resolution(views):
+    """Views bucketed by (width, height) — each bucket gets its own jit-static
+    render shape (mixed-resolution captures)."""
+    groups = defaultdict(list)
+    for v in views:
+        groups[(int(v.width), int(v.height))].append(v)
+    return groups
+
+
 def create_transformation_matrix(yaw_degrees: float, height: float, distance: float):
     """`train.py:446-457`."""
     y = np.radians(yaw_degrees)
@@ -97,6 +106,33 @@ def run_inference(
     impl = renderer or config.renderer
     cameras = create_orbit_cameras(width, height)
 
+    binning = config.binning
+    if binning is None:
+        # Size the pair budget from measured demand (orbit cameras plus, if
+        # given, the timestep-0 real eval views), exactly like stage-2
+        # training — the capacity heuristic silently truncated 720p renders
+        # of reference-scale clouds (see stage2.train).
+        from splatpu.render.api import demand_binning, measure_binning_demand
+
+        margs = activate_cloud(initial_cloud)
+        cam0_tmp = next(iter(cameras.values()))
+        d_pairs, d_span = measure_binning_demand(
+            margs,
+            cam0_tmp,
+            jnp.stack([c.w2c for c in cameras.values()]),
+            jnp.stack([c.K for c in cameras.values()]),
+        )
+        if views_by_timestep is not None:
+            for (w, h), vs in _group_by_resolution(views_by_timestep[0]).items():
+                dp, ds = measure_binning_demand(
+                    margs,
+                    Camera(w2c=jnp.eye(4), K=jnp.eye(3), width=w, height=h),
+                    np.stack([v.w2c for v in vs]),
+                    np.stack([v.K for v in vs]),
+                )
+                d_pairs, d_span = max(d_pairs, dp), max(d_span, ds)
+        binning = demand_binning(d_pairs, d_span)
+
     # Device arrays (cloud, encodings, camera matrices) are jit ARGUMENTS —
     # closure-captured arrays cost ~30 ms/exec on the axon platform.
     @jax.jit
@@ -111,16 +147,16 @@ def run_inference(
     @jax.jit
     def render_view(cloud: GaussianCloud, w2c, K):
         cam = cam0.replace(w2c=w2c, K=K)
-        return render(
-            activate_cloud(cloud), cam, impl=impl, config=config.binning
-        ).image
+        out = render(activate_cloud(cloud), cam, impl=impl, config=binning)
+        return out.image, out.overflowed
 
     @jax.jit
     def render_all_views(cloud: GaussianCloud, w2cs, Ks):
         # One batched render over the orbit cameras + one stacked host fetch
         # per timestep (sequential per-camera renders each paid a separate
         # dispatch + device->host round trip).
-        return jax.vmap(lambda w2c, K: render_view(cloud, w2c, K))(w2cs, Ks)
+        imgs, ovf = jax.vmap(lambda w2c, K: render_view(cloud, w2c, K))(w2cs, Ks)
+        return imgs, jnp.any(ovf)
 
     # Per-timestep evaluation vs the REAL views (`train.py:598-613`): one
     # batched render per RESOLUTION GROUP of the timestep's cameras and one
@@ -140,28 +176,46 @@ def run_inference(
             def one(w2c, K, target):
                 cam = cam_static.replace(w2c=w2c, K=K)
                 out = render(
-                    activate_cloud(cloud), cam, impl=impl, config=config.binning
+                    activate_cloud(cloud), cam, impl=impl, config=binning
                 )
-                return image_loss(out.image, target)
+                return image_loss(out.image, target), out.overflowed
 
-            return jnp.sum(jax.vmap(one)(w2cs, Ks, targets))
+            losses, ovf = jax.vmap(one)(w2cs, Ks, targets)
+            return jnp.sum(losses), jnp.any(ovf)
 
         return batched_sum_image_loss
 
     def eval_mean_image_loss(cloud, views):
-        groups = defaultdict(list)
-        for v in views:
-            groups[(int(v.width), int(v.height))].append(v)
         total = 0.0
-        for (w, h), vs in groups.items():
+        for (w, h), vs in _group_by_resolution(views).items():
             w2cs = jnp.asarray(np.stack([v.w2c for v in vs]))
             Ks = jnp.asarray(np.stack([v.K for v in vs]))
-            targets = jnp.asarray(np.stack([v.image for v in vs]))
-            total = total + _batched_loss_for(w, h)(cloud, w2cs, Ks, targets)
+            targets = np.stack([v.image for v in vs])
+            if targets.dtype == np.uint8:
+                targets = targets.astype(np.float32) / 255.0
+            targets = jnp.asarray(targets)
+            loss, ovf = _batched_loss_for(w, h)(cloud, w2cs, Ks, targets)
+            total = total + loss
+            _note_overflow(ovf)
         return total / len(views)
 
+    overflow_seen = [False]
+
+    def _note_overflow(ovf):
+        if not overflow_seen[0] and bool(ovf):
+            overflow_seen[0] = True
+            import warnings
+
+            warnings.warn(
+                "inference: binning pair budget overflowed — rendered frames"
+                " are dropping splats (pass a larger Stage2Config.binning)",
+                stacklevel=2,
+            )
+
     def export_views(cloud, timestep: int):
-        imgs = np.asarray(render_all_views(cloud, all_w2c, all_K))
+        imgs, ovf = render_all_views(cloud, all_w2c, all_K)
+        imgs = np.asarray(imgs)
+        _note_overflow(ovf)
         for i, name in enumerate(cam_names):
             if output_directory is not None:
                 frame = write_frame(
@@ -192,7 +246,9 @@ def run_inference(
                 )
 
     # Timestep-0 frame prepended per camera (`train.py:617-627`).
-    imgs0 = np.asarray(render_all_views(initial_cloud, all_w2c, all_K))
+    imgs0, ovf0 = render_all_views(initial_cloud, all_w2c, all_K)
+    imgs0 = np.asarray(imgs0)
+    _note_overflow(ovf0)
     for i, name in enumerate(cam_names):
         if output_directory is not None:
             frame = write_frame(

@@ -78,6 +78,19 @@ class Stage2Config:
                                  # `cameras` mesh axis of this many devices
                                  # (shard_map render + psum'd grads,
                                  # splatpu.dist); 0 = single-device.
+    # Pair-budget overflow handling (parity with the CUDA binner, which sizes
+    # its buffers per frame and never drops a splat — SURVEY.md §2.1 step 2).
+    # When `binning` is None the budget is sized from MEASURED demand: one
+    # preprocess of the compacted cloud per timestep-0 camera reports the
+    # exact pair count, and the budget is demand x binning_headroom
+    # (render.api.measure_binning_demand/demand_binning).  At runtime,
+    # `binning_overflow` is checked every `overflow_check_every` steps (one
+    # scalar fetch); on overflow the budget doubles and the step functions are
+    # rebuilt (one recompile), mirroring stage 1.
+    grow_budget_on_overflow: bool = True
+    overflow_check_every: int = 50
+    max_budget_growths: int = 4
+    binning_headroom: float = 2.0
     seed: int = 0
     # Mid-run fault tolerance (absent in the reference, SURVEY.md §5.3/§5.4).
     checkpoint_every: int = 0   # in sequence iterations; 0 = disabled
@@ -286,19 +299,44 @@ def train(
     logger=None,
     progress: bool = False,
     resume_from=None,
+    on_iteration=None,
 ):
-    """Full stage-2 training loop (`train.py:728-776`)."""
+    """Full stage-2 training loop (`train.py:728-776`).
+
+    `on_iteration(seq_it, net_params, resolved_config, last_metrics)` fires
+    after every sequence iteration — acceptance harnesses use it to write
+    incremental results / mid-run rollout evals so a killed run still leaves
+    evidence (absent in the reference; a crash there loses everything but the
+    wandb stream, SURVEY.md §5.3)."""
     from splatpu.io.checkpoint import load_checkpoint, save_checkpoint
 
+    initial_cloud = compact_cloud(initial_cloud)
+    v0 = views_by_timestep[0][0]
+    camera_static = Camera(
+        w2c=jnp.asarray(v0.w2c), K=jnp.asarray(v0.K), width=v0.width, height=v0.height
+    )
     if config.binning is None:
-        # Resolve once with the capacity-scaled heuristic as the base for
-        # any CLI field overrides (render.api.resolve_binning semantics).
-        from splatpu.render.api import resolve_binning
+        # Size the pair budget from MEASURED demand over the timestep-0
+        # cameras, not guessed from capacity: the round-2 acceptance run
+        # trained 3,500 steps with every render silently truncated because
+        # the capacity heuristic undershot at 720p.  CLI field overrides
+        # still apply on top.
+        from splatpu.render.api import demand_binning, measure_binning_demand
 
+        t0_views = views_by_timestep[0]
+        d_pairs, d_span = measure_binning_demand(
+            activate_cloud(initial_cloud),
+            camera_static,
+            np.stack([v.w2c for v in t0_views]),
+            np.stack([v.K for v in t0_views]),
+        )
         config = dataclasses.replace(
             config,
-            binning=resolve_binning(
-                initial_cloud.capacity, None, config.binning_overrides
+            binning=demand_binning(
+                d_pairs,
+                d_span,
+                headroom=config.binning_headroom,
+                overrides=config.binning_overrides,
             ),
         )
     (
@@ -311,22 +349,21 @@ def train(
         opt_state,
     ) = setup(initial_cloud, config)
 
-    v0 = views_by_timestep[0][0]
-    camera_static = Camera(
-        w2c=jnp.asarray(v0.w2c), K=jnp.asarray(v0.K), width=v0.width, height=v0.height
-    )
     # Distributed option (new vs the single-GPU reference, `train.py:702`):
     # shard the sampled views over a `cameras` mesh axis; the deformation
     # network stays replicated and its grads arrive psum'd.
     distributed = config.mesh_cameras > 0
-    if distributed:
-        from splatpu.dist.mesh import get_mesh
-        from splatpu.dist.train_step import make_sharded_train_step
 
-        mesh = get_mesh(camera_axis=config.mesh_cameras, tile_axis=1)
-        step_fn = make_sharded_train_step(optimizer, config, mesh, camera_static)
-    else:
-        step_fn = make_train_step(optimizer, config)
+    def build_step(cfg):
+        if distributed:
+            from splatpu.dist.mesh import get_mesh
+            from splatpu.dist.train_step import make_sharded_train_step
+
+            mesh = get_mesh(camera_axis=cfg.mesh_cameras, tile_axis=1)
+            return make_sharded_train_step(optimizer, cfg, mesh, camera_static)
+        return make_train_step(optimizer, cfg)
+
+    step_fn = build_step(config)
     # View staging (reference preloads everything to the GPU as f32,
     # `train.py:207-217` — which cannot scale to 150 timesteps x 27 cameras
     # at 720p on a 16 GB chip):
@@ -358,13 +395,40 @@ def train(
     rng = np.random.default_rng(config.seed)
     t_count = config.timestep_count
     start_it = 0
+    growths = 0
     if resume_from is not None:
-        template = {"net_params": net_params, "opt_state": opt_state, "seq_it": jnp.int32(0)}
-        restored = load_checkpoint(resume_from, template)
+        template = {
+            "net_params": net_params,
+            "opt_state": opt_state,
+            "seq_it": jnp.int32(0),
+            "max_pairs": jnp.int32(config.binning.max_pairs),
+            "max_span": jnp.int32(config.binning.max_span),
+            "growths": jnp.int32(0),
+        }
+        try:
+            restored = load_checkpoint(resume_from, template)
+        except (KeyError, ValueError):
+            # Pre-growth checkpoint format (round 2): no budget fields.
+            old = {k: template[k] for k in ("net_params", "opt_state", "seq_it")}
+            restored = dict(template, **load_checkpoint(resume_from, old))
         net_params = restored["net_params"]
         opt_state = restored["opt_state"]
         start_it = int(restored["seq_it"]) + 1
         rng = np.random.default_rng(config.seed + start_it)
+        # Adopt a checkpointed auto-grown pair budget (stage-1 semantics:
+        # without this a resumed run reverts to the setup-time budget and
+        # silently drops splats until overflow is re-detected).
+        growths = int(restored["growths"])
+        if int(restored["max_pairs"]) > config.binning.max_pairs:
+            config = dataclasses.replace(
+                config,
+                binning=dataclasses.replace(
+                    config.binning,
+                    max_pairs=int(restored["max_pairs"]),
+                    max_span=int(restored["max_span"]),
+                ),
+            )
+            step_fn = build_step(config)
     outer = range(start_it, config.total_iterations)
     if progress:
         import tqdm
@@ -446,6 +510,39 @@ def train(
                     ),
                 )
                 logger.log(metrics, step=step_idx)
+            if (
+                config.grow_budget_on_overflow
+                and config.overflow_check_every
+                and step_idx % config.overflow_check_every == 0
+                and float(metrics.get("binning_overflow", 0.0)) > 0.0
+            ):
+                if growths < config.max_budget_growths:
+                    grown = dataclasses.replace(
+                        config.binning,
+                        max_pairs=min(config.binning.max_pairs * 2, 1 << 24),
+                        max_span=config.binning.max_span * 2,
+                    )
+                    config = dataclasses.replace(config, binning=grown)
+                    step_fn = build_step(config)
+                    growths += 1
+                    if logger is not None:
+                        logger.log(
+                            {
+                                "budget_growth": growths,
+                                "max_pairs": grown.max_pairs,
+                            },
+                            step=step_idx,
+                        )
+                else:
+                    import warnings
+
+                    warnings.warn(
+                        "stage 2: binning pair budget still overflowing at "
+                        f"max_pairs={config.binning.max_pairs} after "
+                        f"{growths} growths — renders are dropping splats "
+                        "(raise binning_overrides or max_budget_growths)",
+                        stacklevel=2,
+                    )
         if (
             config.checkpoint_every
             and config.checkpoint_path
@@ -457,8 +554,13 @@ def train(
                     "net_params": net_params,
                     "opt_state": opt_state,
                     "seq_it": jnp.int32(seq_it),
+                    "max_pairs": jnp.int32(config.binning.max_pairs),
+                    "max_span": jnp.int32(config.binning.max_span),
+                    "growths": jnp.int32(growths),
                 },
             )
+        if on_iteration is not None:
+            on_iteration(seq_it, net_params, config, metrics)
     if logger is not None:
         logger.flush()
     return net_params, cloud, encoded_initial, metrics

@@ -112,3 +112,49 @@ def test_orbax_sharded_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(restored["x"]), np.asarray(x))
     assert restored["x"].sharding == sharding
     assert int(restored["step"]) == 7
+
+
+def test_two_process_distributed_psum():
+    """REAL `jax.distributed.initialize` across 2 spawned CPU processes — the
+    closest this single-host environment gets to a multi-host run (SURVEY.md
+    §5.8).  Exercises initialize_multihost for real (coordinator handshake,
+    process_count/process_index, cross-process pmap psum) instead of via
+    monkeypatch."""
+    import socket
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    addr = f"localhost:{port}"
+    child = Path(__file__).parent / "_multihost_child.py"
+    env = {
+        k: v
+        for k, v in __import__("os").environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(child), addr, str(i)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            env=env,
+            cwd=str(Path(__file__).parent.parent),
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=180)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {i} failed:\n{out}"
+        assert f"OK process={i} psum=6.0" in out, out
