@@ -57,6 +57,20 @@ class ViewLike:
     pass
 
 
+def fresh_metrics_path(out_dir: Path, name: str, resuming: bool) -> Path:
+    """Metrics JSONL path; pre-existing files from a PREVIOUS run are rotated
+    aside (MetricsLogger appends, and mixing runs in one file contaminated
+    the round-2 overflow evidence).  A resumed run keeps appending."""
+    path = out_dir / name
+    if path.exists() and not resuming:
+        i = 1
+        while (rotated := path.with_suffix(f".prev{i}.jsonl")).exists():
+            i += 1
+        path.rename(rotated)
+        print(f"  rotated stale metrics -> {rotated.name}")
+    return path
+
+
 def staging_binning(jax, cloud, cams):
     """Demand-sized binning for ground-truth staging renders: the targets
     themselves must never be truncated (round-2 lesson — everything trained
@@ -165,7 +179,11 @@ def run_stage1(args):
 
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
-    logger = MetricsLogger(jsonl_path=out_dir / "stage1_metrics.jsonl")
+    logger = MetricsLogger(
+        jsonl_path=fresh_metrics_path(
+            out_dir, "stage1_metrics.jsonl", args.resume_from is not None
+        )
+    )
     cfg = Stage1Config(
         iterations=args.iters,
         capacity_factor=6.0,
@@ -180,7 +198,12 @@ def run_stage1(args):
     dt = time.time() - t0
     print(f"[{dt:.0f}s] stage1 done; alive={int(cloud.n_alive())}")
 
-    render_jit = jax.jit(lambda a, w2c, K: render(a, cams[0].replace(w2c=w2c, K=K)).image)
+    eval_binning, _ = staging_binning(jax, cloud, cams)
+    render_jit = jax.jit(
+        lambda a, w2c, K: render(
+            a, cams[0].replace(w2c=w2c, K=K), config=eval_binning
+        ).image
+    )
     margs = activate_cloud(cloud)
     ps = [
         float(psnr(render_jit(margs, jnp.asarray(v.w2c), jnp.asarray(v.K)),
@@ -228,25 +251,32 @@ def run_stage2(args):
         initial = truth  # fall back: animate the ground-truth static cloud
         print("no stage-1 cloud found; animating the ground-truth cloud")
 
-    # 'Juggle'-like motion: a foreground blob orbits + bobs while the
+    # 'Juggle'-like motion: a foreground blob rotates + bobs while the
     # background stays static (rigidity acts on the foreground graph).
+    # Amplitudes are CLI-tunable: the reference's real workloads (CMU juggle)
+    # move hands/balls a modest fraction of the scene over 150 frames; the
+    # round-2 default (0.01 rad/step = 86 degrees total) was far outside that
+    # class and unlearnable for the reference's 0.01-scaled deformation head.
     fg = np.asarray(truth.segmentation_masks)[:, 0] > 0.5
     base = np.asarray(truth.means)
     center = base[fg].mean(0, keepdims=True)
+    rot_rate = args.rot_rate
+    bob_amp = args.bob_amp
 
     def moved_cloud(t):
-        phase = 2 * np.pi * t / 50.0  # one orbit per 50 timesteps
+        phase = 2 * np.pi * t / 50.0  # one bob per 50 timesteps
+        a = rot_rate * t
         rot = np.array(
             [
-                [np.cos(0.01 * t), 0, -np.sin(0.01 * t)],
+                [np.cos(a), 0, -np.sin(a)],
                 [0, 1, 0],
-                [np.sin(0.01 * t), 0, np.cos(0.01 * t)],
+                [np.sin(a), 0, np.cos(a)],
             ],
             np.float32,
         )
         m = base.copy()
         m[fg] = (base[fg] - center) @ rot.T + center
-        m[fg, 1] += 0.15 * np.sin(phase)
+        m[fg, 1] += bob_amp * np.sin(phase)
         return truth.replace(means=jnp.asarray(m))
 
     print(f"[{time.time()-t0:.0f}s] rendering {args.timesteps} timesteps x {CAMERAS} cams (uint8 host staging)")
@@ -276,7 +306,11 @@ def run_stage2(args):
     # reads the picked views per step.  A cached file is only trusted if the
     # heuristic budget it was rendered under actually held the measured truth
     # demand (the round-2 cache predates demand-sized staging).
-    cache = out_dir / f"staged_views_t{args.timesteps}_c{CAMERAS}.npy"
+    motion_tag = (
+        "" if (rot_rate, bob_amp) == (0.01, 0.15)  # round-2 cache filename
+        else f"_r{rot_rate:g}_b{bob_amp:g}"
+    )
+    cache = out_dir / f"staged_views_t{args.timesteps}_c{CAMERAS}{motion_tag}.npy"
     old_budget = default_config(int(truth.means.shape[0])).max_pairs
     cache_valid = truth_demand <= old_budget
     if cache.exists() and cache_valid:
@@ -311,7 +345,11 @@ def run_stage2(args):
             vs.append(v)
         views_by_timestep.append(vs)
 
-    logger = MetricsLogger(jsonl_path=out_dir / "stage2_metrics.jsonl")
+    logger = MetricsLogger(
+        jsonl_path=fresh_metrics_path(
+            out_dir, "stage2_metrics.jsonl", args.resume_from is not None
+        )
+    )
     cfg = Stage2Config(
         total_iterations=args.iters,
         warmup_iterations=max(1, args.iters // 10),
@@ -413,7 +451,7 @@ def run_stage2(args):
 
     net_params, dense_cloud, enc_init, last_metrics = train(
         initial, views_by_timestep, cfg, logger=logger, progress=True,
-        on_iteration=on_iteration,
+        on_iteration=on_iteration, resume_from=args.resume_from,
     )
     dt = time.time() - t0
     print(f"[{dt:.0f}s] stage2 done")
@@ -440,7 +478,12 @@ def main():
     p.add_argument("--out", default="/tmp/acceptance")
     p.add_argument("--cloud", default=None)
     p.add_argument("--resume-from", default=None,
-                   help="stage1: resume fit() from this checkpoint path")
+                   help="resume stage1 fit() / stage2 train() from this"
+                        " checkpoint path")
+    p.add_argument("--rot-rate", type=float, default=0.003,
+                   help="stage2 motion: fg rotation rad/timestep")
+    p.add_argument("--bob-amp", type=float, default=0.1,
+                   help="stage2 motion: fg vertical bob amplitude")
     p.add_argument("--views-per-step", type=int, default=1)
     p.add_argument("--width", type=int, default=None)
     p.add_argument("--height", type=int, default=None)

@@ -1179,6 +1179,44 @@ def _bwd_call(
 # ---------------------------------------------------------------------------
 
 
+_ROUTE_CUMSUM_BLOCK = 2048     # columns per sequential-grid step
+_ROUTE_PALLAS_MIN = 1 << 19    # below this XLA's cumsum is fine
+
+
+def _cumsum_pairs_pallas(x, block_cols=_ROUTE_CUMSUM_BLOCK):
+    """(R, P) inclusive cumsum along the pair axis in ONE Pallas pass.
+
+    TPU grids execute sequentially, so a single kernel carries the running
+    total across column blocks in a VMEM scratch — one HBM read + one write
+    of x total, where XLA's cumsum decomposition costs multiple full passes
+    at multi-million P (the budget-linear routing bottleneck at 500k-Gaussian
+    scale, BASELINE config 4).  In-block scans reuse the split-bf16 MXU
+    triangular matmuls (`_lane_cumsum_mxu2`, ~2^-16 relative error)."""
+    r, p_len = x.shape
+    if p_len % block_cols != 0:
+        return jnp.cumsum(x, axis=1)
+    grid = p_len // block_cols
+
+    def kernel(x_ref, o_ref, carry_ref):
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            carry_ref[:] = jnp.zeros_like(carry_ref)
+
+        cs = _lane_cumsum_mxu2(x_ref[:]) + carry_ref[:]
+        o_ref[:] = cs
+        carry_ref[:] = cs[:, block_cols - 1 : block_cols]
+
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((r, block_cols), lambda i: (0, i))],
+        out_specs=pl.BlockSpec((r, block_cols), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((r, p_len), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((r, 1), jnp.float32)],
+        interpret=_interpret(),
+    )(x)
+
+
 def _route_to_table(grads, offsets, counts, pos_of_slot, n_rows):
     """Per-pair grads (NREC, P) -> per-Gaussian grads (NREC, N).
 
@@ -1202,7 +1240,10 @@ def _route_to_table(grads, offsets, counts, pos_of_slot, n_rows):
     slotg = jnp.where(
         valid[None, :], grads[:, jnp.minimum(pos_of_slot, mp - 1)], 0.0
     )  # (n_rows, P) in emission-slot order; dropped slots contribute 0
-    csum = jnp.cumsum(slotg, axis=1)
+    if mp >= _ROUTE_PALLAS_MIN and not _interpret():
+        csum = _cumsum_pairs_pallas(slotg)
+    else:
+        csum = jnp.cumsum(slotg, axis=1)
     hi = jnp.clip(offsets + counts - 1, 0, mp - 1)
     lo = offsets - 1
     hi_v = csum[:, hi]

@@ -403,3 +403,29 @@ class TestTileCulling:
         np.testing.assert_allclose(
             np.asarray(g_on), np.asarray(g_off), atol=1e-7
         )
+
+
+def test_cumsum_pairs_pallas_matches_jnp():
+    """The sequential-grid carry cumsum (routing path at 500k+ scale) must
+    match jnp.cumsum to split-bf16 tolerance."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from splatpu.render.exact import _cumsum_pairs_pallas
+
+    x = jax.random.normal(jax.random.key(0), (10, 8192), jnp.float32)
+    got = _cumsum_pairs_pallas(x, block_cols=2048)
+    want = jnp.cumsum(x, axis=1)
+    # Split-bf16 block scans: abs error ~eps * |running sum| (values here
+    # reach ~1e2); the routing boundary DIFFERENCES cancel the carry error
+    # common to both endpoints, so segment sums stay far tighter than this.
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-3
+    )
+    # Non-divisible widths fall back to jnp.cumsum exactly.
+    y = x[:, :1000]
+    np.testing.assert_array_equal(
+        np.asarray(_cumsum_pairs_pallas(y, block_cols=2048)),
+        np.asarray(jnp.cumsum(y, axis=1)),
+    )
