@@ -28,7 +28,7 @@ WARMUP = 2
 ITERS = 10
 
 
-def main():
+def main(chained: int = 0):
     import jax
 
     from splatpu.obs.cache import enable_compilation_cache
@@ -96,6 +96,51 @@ def main():
         )
     )
 
+    if chained:
+        # Dispatch-amortized ms/frame: N frames rendered by ONE executable
+        # (lax.scan chaining each frame's mean-gradient into the next frame's
+        # means, so no step can be elided) — one tunnel dispatch total.
+        # This is the production-serving shape; the difference vs the
+        # per-dispatch number above MEASURES the fixed tunnel dispatch cost
+        # instead of subtracting an estimate.
+        @jax.jit
+        def fwd_bwd_chain(params, alive, camera, target):
+            def body(means, _):
+                g = fwd_bwd(dict(params, means=means), alive, camera, target)
+                return means + 1e-12 * g["means"], ()
+
+            final, _ = jax.lax.scan(
+                body, params["means"], None, length=chained
+            )
+            return final
+
+        cstats = time_fn(
+            fwd_bwd_chain,
+            warmup=1,
+            iters=4,
+            args_fn=lambda i: (
+                dict(
+                    cloud_params,
+                    means=cloud_params["means"] + jnp.float32(i) * 1e-7,
+                ),
+                cloud.alive,
+                cam,
+                target,
+            ),
+        )
+        cms = cstats["mean_ms"] / chained
+        print(
+            json.dumps(
+                {
+                    "metric": "rasterize_fwd_bwd_ms_per_frame_chained",
+                    "value": round(cms, 3),
+                    "unit": "ms",
+                    "chain_length": chained,
+                    "vs_baseline": round(BASELINE_MS / cms, 4),
+                }
+            )
+        )
+
 
 def _pallas_available() -> bool:
     try:
@@ -107,4 +152,10 @@ def _pallas_available() -> bool:
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    chained = 0
+    if "--chained" in sys.argv:
+        idx = sys.argv.index("--chained")
+        chained = int(sys.argv[idx + 1]) if len(sys.argv) > idx + 1 else 8
+    main(chained=chained)

@@ -184,12 +184,18 @@ def run_stage1(args):
             out_dir, "stage1_metrics.jsonl", args.resume_from is not None
         )
     )
+    overrides = {}
+    if args.max_pairs:
+        overrides["max_pairs"] = args.max_pairs
+    if args.max_span:
+        overrides["max_span"] = args.max_span
     cfg = Stage1Config(
         iterations=args.iters,
         capacity_factor=6.0,
         checkpoint_every=2500,
         checkpoint_path=str(out_dir / "stage1_ckpt.msgpack"),
         views_per_step=args.views_per_step,
+        binning_overrides=overrides or None,
     )
     cloud, metrics = fit(
         pc, views, scene_radius=4.4, config=cfg, logger=logger, progress=True,
@@ -480,6 +486,10 @@ def main():
     p.add_argument("--resume-from", default=None,
                    help="resume stage1 fit() / stage2 train() from this"
                         " checkpoint path")
+    p.add_argument("--max-pairs", type=int, default=None,
+                   help="stage1 binning override (e.g. restoring a grown"
+                        " budget across a pre-format-change checkpoint)")
+    p.add_argument("--max-span", type=int, default=None)
     p.add_argument("--rot-rate", type=float, default=0.003,
                    help="stage2 motion: fg rotation rad/timestep")
     p.add_argument("--bob-amp", type=float, default=0.1,

@@ -58,8 +58,8 @@ def make_camera_sharded_image_losses(
     mesh: Mesh, camera_static: Camera, renderer: str, binning
 ):
     """Returns image_losses(args, w2c, K, images, weights) ->
-    (l1_sum, ssim_sum, overflow_max) with views sharded over the ``cameras``
-    mesh axis.
+    (l1_sum, ssim_sum, overflow_max, span_overflow_max) with views sharded
+    over the ``cameras`` mesh axis.
 
     `args` (activated cloud) is replicated; the loss outputs are replicated
     sums identical to the single-device computation, and overflow_max is the
@@ -76,20 +76,26 @@ def make_camera_sharded_image_losses(
             overflow = jax.lax.stop_gradient(
                 out.overflowed.astype(jnp.float32) * weight
             )
-            return l1, s, overflow
+            span = jax.lax.stop_gradient(
+                out.span_overflowed.astype(jnp.float32) * weight
+            )
+            return l1, s, overflow, span
 
-        l1s, ssims, overflows = jax.lax.map(render_one, (w2c, K, images, weights))
+        l1s, ssims, overflows, spans = jax.lax.map(
+            render_one, (w2c, K, images, weights)
+        )
         return (
             jax.lax.psum(jnp.sum(l1s), "cameras"),
             jax.lax.psum(jnp.sum(ssims), "cameras"),
             jax.lax.pmax(jnp.max(overflows), "cameras"),
+            jax.lax.pmax(jnp.max(spans), "cameras"),
         )
 
     sharded = shard_map(
         local,
         mesh=mesh,
         in_specs=(P(), P("cameras"), P("cameras"), P("cameras"), P("cameras")),
-        out_specs=(P(), P(), P()),
+        out_specs=(P(), P(), P(), P()),
         check_vma=False,
     )
     return sharded

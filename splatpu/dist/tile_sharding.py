@@ -92,7 +92,8 @@ def make_tile_sharded_render_dual(
     composites, over one shared per-strip preprocess.
 
     Returns dual_strips(args, colors_b, w2c, K) ->
-    (image (C, H_pad, W), seg_image (C, H_pad, W), radii (N,), overflow ()):
+    (image (C, H_pad, W), seg_image (C, H_pad, W), radii (N,), overflow (),
+    span_overflow ()):
     images sharded over ``axis`` (caller crops rows to camera.height), radii
     identical on every strip (the EWA radius does not depend on the principal
     point), overflow pmax'd over strips.  Gradients to the replicated `args`
@@ -117,13 +118,21 @@ def make_tile_sharded_render_dual(
             ),
             axis,
         )
+        span = jax.lax.pmax(
+            jax.lax.stop_gradient(
+                (out_a.span_overflowed | out_b.span_overflowed).astype(
+                    jnp.float32
+                )
+            ),
+            axis,
+        )
         radii = jax.lax.pmax(jax.lax.stop_gradient(out_a.radii), axis)
-        return out_a.image, out_b.image, radii, overflow
+        return out_a.image, out_b.image, radii, overflow, span
 
     return shard_map(
         local,
         mesh=mesh,
         in_specs=(P(), P(), P(), P()),
-        out_specs=(P(None, axis, None), P(None, axis, None), P(), P()),
+        out_specs=(P(None, axis, None), P(None, axis, None), P(), P(), P()),
         check_vma=False,
     )

@@ -85,7 +85,9 @@ def make_sharded_train_step(
                 previous_fg,
             )
             args = activate_cloud(updated)
-            l1_sum, ssim_sum, overflow = image_losses(args, w2c, K, images, weights)
+            l1_sum, ssim_sum, overflow, span_overflow = image_losses(
+                args, w2c, K, images, weights
+            )
             image_loss = L1_WEIGHT * l1_sum + SSIM_WEIGHT * ssim_sum
             # Rigidity is summed once per *real* sampled view (`train.py:395-418`).
             n_views = jnp.sum(weights)
@@ -97,6 +99,7 @@ def make_sharded_train_step(
                 "rigidity": n_views * rig,
                 "total": total,
                 "binning_overflow": overflow,
+                "span_overflow": span_overflow,
                 "_updated": updated,
             }
             return total, aux

@@ -51,9 +51,27 @@ class MetricsLogger:
         if self._path and self._file is None:
             self._path.parent.mkdir(parents=True, exist_ok=True)
             self._file = self._path.open("a")
+        # ONE batched device_get for every buffered array: individual
+        # float(v) fetches cost ~10-20 ms EACH through the TPU tunnel
+        # (measured: 100 float() = 2196 ms vs one device_get of the same
+        # 100 = 0.9 ms), which at ~10 metrics x 50 buffered steps added
+        # >200 ms of fetch overhead per training step.
+        import jax
+
+        arrays = [
+            v
+            for _, metrics in self._buffer
+            for v in metrics.values()
+            if hasattr(v, "dtype")
+        ]
+        fetched = iter(jax.device_get(arrays))
         for step, metrics in self._buffer:
             concrete = {
-                k: (float(v) if hasattr(v, "dtype") or isinstance(v, (int, float)) else v)
+                k: (
+                    float(next(fetched))
+                    if hasattr(v, "dtype")
+                    else (float(v) if isinstance(v, (int, float)) else v)
+                )
                 for k, v in metrics.items()
             }
             if self._file:

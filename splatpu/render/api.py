@@ -141,6 +141,7 @@ def render_dual(
                 radii=stream.splats.radius,
                 final_transmittance=t_final,
                 overflowed=stream.overflowed,
+                span_overflowed=stream.span_overflowed,
             )
 
         return (

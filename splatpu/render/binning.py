@@ -125,6 +125,8 @@ class PairStream:
     # Diagnostics.
     total_pairs: jax.Array     # () int32 — pairs before budget clipping
     overflowed: jax.Array      # () bool — pair budget or span budget exceeded
+    span_overflowed: jax.Array  # () bool — the SPAN budget specifically
+                               # (growth must raise max_span, not max_pairs)
     splats: Splats2D
 
 
@@ -270,6 +272,7 @@ def build_pair_stream(
         q_of_slot=q_of_slot,
         total_pairs=total_pairs,
         overflowed=span_overflow | (total_pairs > max_pairs),
+        span_overflowed=span_overflow,
         splats=sp,
     )
 

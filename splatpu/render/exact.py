@@ -68,7 +68,13 @@ class ExactStream:
     g_colors: jax.Array     # (N, C) activated colors
     g_opacity: jax.Array    # (N,) visibility-masked opacity
     total_pairs: jax.Array  # () int32 pairs before budget clipping
-    overflowed: jax.Array   # () bool
+    overflowed: jax.Array   # () bool — ANY budget exceeded (union)
+    span_overflowed: jax.Array  # () bool — the tile-SPAN budget (max_span /
+                            # big-class capacity) specifically; growing the
+                            # pair budget cannot fix this, so auto-growth
+                            # must raise max_span instead (a span cascade
+                            # once needlessly 4x'd the pair budget and
+                            # halved stage-1 resume throughput)
     splats: Splats2D
 
 
@@ -305,6 +311,7 @@ def build_exact_stream(
         g_opacity=jnp.where(sp.visible, args.opacities[:, 0], 0.0),
         total_pairs=total_pairs,
         overflowed=span_overflow | (total_pairs > mp),
+        span_overflowed=span_overflow,
         splats=sp,
     )
 
@@ -1417,6 +1424,7 @@ def composite_exact(
         radii=stream.splats.radius,
         final_transmittance=untile(tfin_tiles),
         overflowed=stream.overflowed,
+        span_overflowed=stream.span_overflowed,
     )
 
 

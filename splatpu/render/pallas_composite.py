@@ -612,4 +612,5 @@ def composite_stream(
         radii=stream.splats.radius,
         final_transmittance=untile(tfin_tiles),
         overflowed=stream.overflowed,
+        span_overflowed=stream.span_overflowed,
     )

@@ -159,4 +159,5 @@ def render_stream(
         radii=stream.splats.radius,
         final_transmittance=t_final,
         overflowed=stream.overflowed,
+        span_overflowed=stream.span_overflowed,
     )

@@ -19,6 +19,11 @@ class RenderOutput:
         (pair budget / span / big-capacity) was exceeded and some splats were
         dropped this view; raise the BinningConfig budgets if it persists.
         Always False for the oracle (no budgets).
+    span_overflowed: () bool — specifically the per-Gaussian tile-SPAN budget
+        (max_span, or the big-class capacity) was exceeded.  Kept separate
+        from `overflowed` so budget auto-growth raises the budget that
+        actually overflowed: one over-wide Gaussian must grow max_span, not
+        double the (throughput-defining) pair budget.
     """
 
     image: jax.Array
@@ -26,3 +31,6 @@ class RenderOutput:
     radii: jax.Array
     final_transmittance: jax.Array
     overflowed: jax.Array = struct.field(default_factory=lambda: jnp.array(False))
+    span_overflowed: jax.Array = struct.field(
+        default_factory=lambda: jnp.array(False)
+    )

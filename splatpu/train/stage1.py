@@ -134,7 +134,7 @@ def make_step_fns(camera_static: Camera, config: Stage1Config, scene_radius: flo
         # only the image pass feeds the densification gradient collector
         # (`densify.py:130-132`).
         if sharded_dual is not None:
-            img_a, img_b, radii, overflow = sharded_dual(
+            img_a, img_b, radii, overflow, span_overflow = sharded_dual(
                 args, cloud.segmentation_masks, w2c, K
             )
             h, w = camera_static.height, camera_static.width
@@ -149,6 +149,9 @@ def make_step_fns(camera_static: Camera, config: Stage1Config, scene_radius: flo
             )
             img_a, img_b, radii = out.image, seg_out.image, out.radii
             overflow = (out.overflowed | seg_out.overflowed).astype(jnp.float32)
+            span_overflow = (
+                out.span_overflowed | seg_out.span_overflowed
+            ).astype(jnp.float32)
         img_loss = image_loss(img_a, image)
         seg_loss = image_loss(img_b, seg_target)
         total = img_loss + SEGMENTATION_WEIGHT * seg_loss
@@ -158,8 +161,11 @@ def make_step_fns(camera_static: Camera, config: Stage1Config, scene_radius: flo
             "segmentation_loss": seg_loss,
             "total_loss": total,
             # Binning budget exceeded this view (splats dropped) — surfaces in
-            # the metrics stream so silent quality loss is visible.
+            # the metrics stream so silent quality loss is visible.  The span
+            # flag is separate: growth must raise the budget that overflowed
+            # (a span cascade once needlessly 4x'd the pair budget).
             "binning_overflow": overflow,
+            "span_overflow": span_overflow,
         }
         return total, aux
 
@@ -194,9 +200,12 @@ def make_step_fns(camera_static: Camera, config: Stage1Config, scene_radius: flo
             seg_loss = image_loss(seg_out.image, seg_target)
             total = img_loss + SEGMENTATION_WEIGHT * seg_loss
             overflow = (out.overflowed | seg_out.overflowed).astype(jnp.float32)
-            return total, (out.radii, img_loss, seg_loss, overflow)
+            span = (out.span_overflowed | seg_out.span_overflowed).astype(
+                jnp.float32
+            )
+            return total, (out.radii, img_loss, seg_loss, overflow, span)
 
-        totals, (radii, img_l, seg_l, ovf) = jax.vmap(one)(
+        totals, (radii, img_l, seg_l, ovf, span) = jax.vmap(one)(
             offsets, w2cs, Ks, images, seg_targets
         )
         total = jnp.mean(totals)
@@ -206,6 +215,7 @@ def make_step_fns(camera_static: Camera, config: Stage1Config, scene_radius: flo
             "segmentation_loss": jnp.mean(seg_l),
             "total_loss": total,
             "binning_overflow": jnp.max(ovf),
+            "span_overflow": jnp.max(span),
         }
         return total, aux
 
@@ -253,7 +263,8 @@ def make_step_fns(camera_static: Camera, config: Stage1Config, scene_radius: flo
         metrics = {
             k: aux[k]
             for k in (
-                "image_loss", "segmentation_loss", "total_loss", "binning_overflow"
+                "image_loss", "segmentation_loss", "total_loss",
+                "binning_overflow", "span_overflow",
             )
         }
         metrics["n_alive"] = cloud.n_alive()
@@ -277,7 +288,8 @@ def make_step_fns(camera_static: Camera, config: Stage1Config, scene_radius: flo
         metrics = {
             k: aux[k]
             for k in (
-                "image_loss", "segmentation_loss", "total_loss", "binning_overflow"
+                "image_loss", "segmentation_loss", "total_loss",
+                "binning_overflow", "span_overflow",
             )
         }
         metrics.update({k: v for k, v in info.items()})
@@ -393,7 +405,17 @@ def fit(
             "max_span": jnp.int32(config.binning.max_span),
             "growths": jnp.int32(0),
         }
-        restored = load_checkpoint(resume_from, template)
+        try:
+            restored = load_checkpoint(resume_from, template)
+        except (KeyError, ValueError):
+            # Pre-budget-field checkpoint format: resume state without the
+            # grown budget (pass binning_overrides to restore it manually,
+            # else grow-on-overflow re-detects it at the cost of recompiles).
+            old = {
+                k: template[k]
+                for k in ("cloud", "opt_state", "stats", "key", "i")
+            }
+            restored = dict(template, **load_checkpoint(resume_from, old))
         cloud = restored["cloud"]
         opt_state = restored["opt_state"]
         stats = restored["stats"]
@@ -450,11 +472,19 @@ def fit(
             and i % config.overflow_check_every == 0
             and float(metrics.get("binning_overflow", 0.0)) > 0.0
         ):
-            grown = dataclasses.replace(
-                config.binning,
-                max_pairs=min(config.binning.max_pairs * 2, 1 << 24),
-                max_span=config.binning.max_span * 2,
-            )
+            # Grow the budget that actually overflowed: one over-wide
+            # Gaussian must raise max_span, not double the
+            # (throughput-defining) pair buffer.  If BOTH overflowed, the
+            # union flag persists and the next check grows the other.
+            if float(metrics.get("span_overflow", 0.0)) > 0.0:
+                grown = dataclasses.replace(
+                    config.binning, max_span=config.binning.max_span * 2
+                )
+            else:
+                grown = dataclasses.replace(
+                    config.binning,
+                    max_pairs=min(config.binning.max_pairs * 2, 1 << 24),
+                )
             config = dataclasses.replace(config, binning=grown)
             train_step, mutate_step, adam = make_step_fns(
                 camera_static, config, scene_radius
@@ -462,7 +492,11 @@ def fit(
             growths += 1
             if logger is not None:
                 logger.log(
-                    {"budget_growth": growths, "max_pairs": grown.max_pairs},
+                    {
+                        "budget_growth": growths,
+                        "max_pairs": grown.max_pairs,
+                        "max_span": grown.max_span,
+                    },
                     step=i,
                 )
         if dcfg.is_mutation_iter(i):

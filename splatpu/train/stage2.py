@@ -223,14 +223,18 @@ def make_train_step(optimizer, config: Stage2Config):
                 out = render(args, cam, impl=config.renderer, config=binning)
                 l1 = jnp.mean(jnp.abs(out.image - target))
                 ssim_loss = 1.0 - ssim(out.image, target)
-                return l1, ssim_loss, out.overflowed
+                return l1, ssim_loss, out.overflowed, out.span_overflowed
 
             if config.view_batching == "vmap":
                 # One batched render: binning sorts batch-parallel, the
                 # Pallas grid gains a leading view dimension.
-                l1s, ssims, overflows = jax.vmap(render_one)((w2c, K, images))
+                l1s, ssims, overflows, spans = jax.vmap(render_one)(
+                    (w2c, K, images)
+                )
             else:
-                l1s, ssims, overflows = jax.lax.map(render_one, (w2c, K, images))
+                l1s, ssims, overflows, spans = jax.lax.map(
+                    render_one, (w2c, K, images)
+                )
             l1_sum = jnp.sum(l1s)
             ssim_sum = jnp.sum(ssims)
             image_loss = L1_WEIGHT * l1_sum + SSIM_WEIGHT * ssim_sum
@@ -245,6 +249,7 @@ def make_train_step(optimizer, config: Stage2Config):
                 "rigidity": n_views * rig,
                 "total": total,
                 "binning_overflow": jnp.max(overflows.astype(jnp.float32)),
+                "span_overflow": jnp.max(spans.astype(jnp.float32)),
                 "_updated": updated,
             }
             return total, aux
@@ -517,11 +522,21 @@ def train(
                 and float(metrics.get("binning_overflow", 0.0)) > 0.0
             ):
                 if growths < config.max_budget_growths:
-                    grown = dataclasses.replace(
-                        config.binning,
-                        max_pairs=min(config.binning.max_pairs * 2, 1 << 24),
-                        max_span=config.binning.max_span * 2,
-                    )
+                    # Grow the budget that actually overflowed (span vs
+                    # pairs): doubling the pair budget for a span overflow
+                    # cannot clear it and halves render throughput.
+                    if float(metrics.get("span_overflow", 0.0)) > 0.0:
+                        grown = dataclasses.replace(
+                            config.binning,
+                            max_span=config.binning.max_span * 2,
+                        )
+                    else:
+                        grown = dataclasses.replace(
+                            config.binning,
+                            max_pairs=min(
+                                config.binning.max_pairs * 2, 1 << 24
+                            ),
+                        )
                     config = dataclasses.replace(config, binning=grown)
                     step_fn = build_step(config)
                     growths += 1
@@ -530,6 +545,7 @@ def train(
                             {
                                 "budget_growth": growths,
                                 "max_pairs": grown.max_pairs,
+                                "max_span": grown.max_span,
                             },
                             step=step_idx,
                         )

@@ -106,3 +106,41 @@ def test_resume_adopts_grown_pair_budget(tmp_path):
     finally:
         s1.make_step_fns = orig
     assert captured["max_pairs"] == 1 << 13
+
+
+def test_stage1_resumes_pre_budget_format_checkpoint(tmp_path):
+    """Checkpoints written before the budget fields existed (round-2 format:
+    cloud/opt_state/stats/key/i only) must still resume — the budget falls
+    back to the config's and grow-on-overflow re-detects if needed."""
+    truth = make_random_cloud(jax.random.key(2), 40, extent=0.8)
+    cams = ring_cameras(3)
+    views = make_views(truth, cams)
+    pc = np.concatenate(
+        [
+            np.asarray(truth.means),
+            np.asarray(truth.colors),
+            (np.asarray(truth.segmentation_masks)[:, :1] > 0.5).astype(np.float32),
+        ],
+        axis=1,
+    )
+    ckpt = tmp_path / "stage1.msgpack"
+    base = Stage1Config(
+        iterations=6,
+        capacity_factor=2.0,
+        renderer="stream",
+        binning=BinningConfig(max_span=64, max_pairs=1 << 12, chunk_pairs=256),
+        densify=DensifyConfig(mutate_start=1000),
+        checkpoint_every=3,
+        checkpoint_path=str(ckpt),
+    )
+    fit(pc, views, scene_radius=4.0, config=base)
+    # Strip the budget fields, emulating the old format on disk.
+    import msgpack
+
+    raw = msgpack.unpackb(ckpt.read_bytes(), raw=False)
+    old = {k: raw[k] for k in ("cloud", "opt_state", "stats", "key", "i")}
+    ckpt.write_bytes(msgpack.packb(old))
+
+    more = dataclasses.replace(base, iterations=9)
+    _, metrics = fit(pc, views, scene_radius=4.0, config=more, resume_from=ckpt)
+    assert np.isfinite(float(metrics["total_loss"]))

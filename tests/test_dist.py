@@ -53,7 +53,9 @@ def test_sharded_image_losses_match_single_device():
     weights = jnp.ones((n_dev,))
 
     sharded = make_camera_sharded_image_losses(mesh, cams[0], "stream", BIN)
-    l1_s, ssim_s, _overflow = jax.jit(sharded)(args, w2c, K, target, weights)
+    l1_s, ssim_s, _overflow, _span = jax.jit(sharded)(
+        args, w2c, K, target, weights
+    )
 
     # Single-device reference.
     l1_ref = 0.0
@@ -81,7 +83,7 @@ def test_padding_and_masking():
     assert float(weights.sum()) == 3.0
 
     sharded = make_camera_sharded_image_losses(mesh, cams[0], "stream", BIN)
-    l1_s, _, _ = jax.jit(sharded)(args, w2c, K, images, weights)
+    l1_s, _, _, _ = jax.jit(sharded)(args, w2c, K, images, weights)
     l1_ref = sum(
         jnp.mean(jnp.abs(render(args, c, impl="stream", config=BIN).image))
         for c in cams

@@ -185,3 +185,43 @@ def test_stage2_checkpoint_carries_grown_budget(tmp_path):
     for _, m in cap.rows:
         if "budget_growth" in m:
             assert m["max_pairs"] > grown_to
+
+
+def test_span_overflow_grows_span_not_pairs():
+    """A single over-wide Gaussian must grow max_span, NOT the pair budget:
+    doubling pairs cannot clear a span overflow and needlessly halves render
+    throughput (observed: a span cascade 4x'd the stage-1 resume budget)."""
+    import jax.numpy as jnp
+
+    cloud = make_random_cloud(jax.random.key(6), 64)
+    # Blow up one Gaussian's scale so it covers many 8px tiles.
+    ls = np.array(cloud.log_scales)
+    ls[0] = np.log(2.0)
+    op = np.array(cloud.opacity_logits)
+    op[0] = 4.0  # high opacity: the culling cannot shrink its footprint
+    cloud = cloud.replace(
+        log_scales=jnp.asarray(ls), opacity_logits=jnp.asarray(op)
+    )
+    cams = ring_cameras(4)
+    tiny_span = BinningConfig(
+        tile=8, max_span=2, max_pairs=4096, chunk_pairs=128
+    )
+    out = render(activate_cloud(cloud), cams[0], impl="stream", config=tiny_span)
+    assert bool(out.span_overflowed)
+    assert bool(out.overflowed)
+
+    cap = _Capture()
+    cfg = Stage2Config(
+        total_iterations=2, warmup_iterations=1, hidden_dim=32,
+        residual_blocks=1, views_per_step=2, timestep_count=2,
+        renderer="stream", binning=tiny_span,
+        grow_budget_on_overflow=True, overflow_check_every=1,
+        max_budget_growths=8,
+    )
+    train(cloud, _views(cams, 2), cfg, logger=cap)
+    growth_rows = [m for _, m in cap.rows if "budget_growth" in m]
+    assert growth_rows, "no growth despite span overflow"
+    # Every growth raised the span; the pair budget never moved.
+    for m in growth_rows:
+        assert m["max_pairs"] == 4096
+        assert m["max_span"] > 2
