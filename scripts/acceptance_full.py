@@ -192,7 +192,7 @@ def run_stage1(args):
     cfg = Stage1Config(
         iterations=args.iters,
         capacity_factor=6.0,
-        checkpoint_every=2500,
+        checkpoint_every=args.checkpoint_every or 2500,
         checkpoint_path=str(out_dir / "stage1_ckpt.msgpack"),
         views_per_step=args.views_per_step,
         binning_overrides=overrides or None,
@@ -356,6 +356,11 @@ def run_stage2(args):
             out_dir, "stage2_metrics.jsonl", args.resume_from is not None
         )
     )
+    overrides = {}
+    if args.max_pairs:
+        overrides["max_pairs"] = args.max_pairs
+    if args.max_span:
+        overrides["max_span"] = args.max_span
     cfg = Stage2Config(
         total_iterations=args.iters,
         warmup_iterations=max(1, args.iters // 10),
@@ -366,6 +371,7 @@ def run_stage2(args):
         view_staging="host",
         checkpoint_every=5,
         checkpoint_path=str(out_dir / "stage2_ckpt.msgpack"),
+        binning_overrides=overrides or None,
     )
 
     # The training/eval cloud and initial encoding, exactly as stage2.setup
@@ -486,6 +492,8 @@ def main():
     p.add_argument("--resume-from", default=None,
                    help="resume stage1 fit() / stage2 train() from this"
                         " checkpoint path")
+    p.add_argument("--checkpoint-every", type=int, default=None,
+                   help="stage1 checkpoint cadence override (iterations)")
     p.add_argument("--max-pairs", type=int, default=None,
                    help="stage1 binning override (e.g. restoring a grown"
                         " budget across a pre-format-change checkpoint)")
