@@ -197,9 +197,27 @@ def run_stage1(args):
         views_per_step=args.views_per_step,
         binning_overrides=overrides or None,
     )
+    result_path = out_dir / "stage1_result.json"
+
+    def on_iteration(i, cloud, metrics):
+        # Incremental evidence (an interrupted run keeps its latest numbers).
+        rec = {
+            "config": "BASELINE config 2 shape (synthetic)",
+            "iterations_done": i + 1,
+            "iterations_total": args.iters,
+            "cameras": CAMERAS,
+            "resolution": f"{WIDTH}x{HEIGHT}",
+            "last": {
+                k: float(v) for k, v in metrics.items() if np.ndim(v) == 0
+            },
+            "wall_seconds": time.time() - t0,
+            "completed": False,
+        }
+        result_path.write_text(json.dumps(rec, indent=2))
+
     cloud, metrics = fit(
         pc, views, scene_radius=4.4, config=cfg, logger=logger, progress=True,
-        resume_from=args.resume_from,
+        resume_from=args.resume_from, on_iteration=on_iteration,
     )
     dt = time.time() - t0
     print(f"[{dt:.0f}s] stage1 done; alive={int(cloud.n_alive())}")
@@ -225,6 +243,7 @@ def run_stage1(args):
         "psnr_first5_views": ps,
         "psnr_mean": float(np.mean(ps)),
         "wall_seconds": dt,
+        "completed": True,
     }
     save_cloud(out_dir / "densified_cloud.npz", cloud)
     (out_dir / "stage1_result.json").write_text(json.dumps(result, indent=2))

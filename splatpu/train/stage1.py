@@ -336,9 +336,15 @@ def fit(
     logger=None,
     progress: bool = False,
     resume_from=None,
+    on_iteration=None,
+    on_iteration_every: int = 1000,
 ):
     """Run the full stage-1 fit; `views` is a list of objects with
     (w2c, K, width, height, image, segmentation) — see data.dataset.ViewData.
+
+    `on_iteration(i, cloud, last_metrics)` fires every `on_iteration_every`
+    iterations — harnesses write incremental results from it so an
+    interrupted run still leaves evidence (stage-2 parity).
 
     Returns (cloud, metrics_history_last).
     """
@@ -531,6 +537,8 @@ def fit(
                 )
         if logger is not None:
             logger.log(metrics, step=i)
+        if on_iteration is not None and (i + 1) % on_iteration_every == 0:
+            on_iteration(i, cloud, metrics)
         if (
             config.checkpoint_every
             and config.checkpoint_path
