@@ -391,6 +391,7 @@ def run_stage2(args):
         checkpoint_every=5,
         checkpoint_path=str(out_dir / "stage2_ckpt.msgpack"),
         binning_overrides=overrides or None,
+        quirk_compat=not args.no_quirk,
     )
 
     # The training/eval cloud and initial encoding, exactly as stage2.setup
@@ -517,6 +518,10 @@ def main():
                    help="stage1 binning override (e.g. restoring a grown"
                         " budget across a pre-format-change checkpoint)")
     p.add_argument("--max-span", type=int, default=None)
+    p.add_argument("--no-quirk", action="store_true",
+                   help="stage2: correct interleaved sin/cos positional "
+                        "encoding instead of the reference's cos-of-sin "
+                        "quirk (`train.py:125`)")
     p.add_argument("--rot-rate", type=float, default=0.003,
                    help="stage2 motion: fg rotation rad/timestep")
     p.add_argument("--bob-amp", type=float, default=0.1,
