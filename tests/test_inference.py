@@ -69,3 +69,36 @@ def test_inference_mixed_resolution_eval(tmp_path):
     # 5 orbit cameras, timestep 0 prepended -> 3 frames each.
     assert len(frames) == 5
     assert all(len(f) == 3 for f in frames.values())
+
+
+def test_inference_warns_on_overflow():
+    """run_inference must surface budget overflow loudly (the round-2 code
+    discarded the flag entirely — a whole video could render truncated)."""
+    import warnings
+
+    import jax
+    import jax.numpy as jnp
+
+    from splatpu.data.synthetic import make_random_cloud
+    from splatpu.dynamics.deform import (
+        normalize_and_encode_means_and_rotations,
+    )
+    from splatpu.dynamics.network import init_deformation_net
+    from splatpu.render.binning import BinningConfig
+    from splatpu.train.inference import run_inference
+    from splatpu.train.stage2 import Stage2Config
+
+    cloud = make_random_cloud(jax.random.key(0), 300)
+    tiny = BinningConfig(tile=32, max_span=64, max_pairs=128, chunk_pairs=128)
+    cfg = Stage2Config(
+        total_iterations=1, warmup_iterations=1, hidden_dim=16,
+        residual_blocks=1, timestep_count=1, renderer="stream", binning=tiny,
+    )
+    params = init_deformation_net(jax.random.key(1), cfg.net_config())
+    enc = normalize_and_encode_means_and_rotations(
+        cloud.means, cloud.rotation_quaternions
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        run_inference(params, cloud, enc, cfg, width=64, height=64)
+    assert any("overflow" in str(c.message) for c in caught)
