@@ -238,6 +238,7 @@ def demand_binning(
     tile: int = DEFAULT_TILE,
     headroom: float = 2.0,
     overrides: dict | None = None,
+    span_cap: int = 512,
 ) -> BinningConfig:
     """Binning config sized from measured demand (`measure_binning_demand`)
     with multiplicative headroom (the cloud moves during stage-2 training;
@@ -252,8 +253,16 @@ def demand_binning(
     budget = -(-budget // chunk) * chunk
     budget = min(budget, 1 << 24)
     # Span: next power of two above demand (x2 drift headroom), floor at the
-    # default so span_small two-class routing stays effective.
+    # default so span_small two-class routing stays effective — CAPPED: the
+    # measured span is a pre-cull upper bound, and one near-camera splat
+    # covering most of the screen (720p/t32 = 920 tiles) would otherwise set
+    # max_span into the thousands and make the stream path's dense
+    # (N, max_span) emission domain tens of GB at large N.  Genuinely wider
+    # splats are handled by the exact path's big-class split plus
+    # grow-on-overflow at runtime, which only pays when a splat actually
+    # KEEPS that many tiles post-cull.
     span = max(int(demand_span * 2), base.max_span)
     span = 1 << (span - 1).bit_length()
+    span = max(base.max_span, min(span, 1 << (max(span_cap, 1) - 1).bit_length()))
     cfg = dataclasses.replace(base, max_pairs=budget, max_span=span)
     return dataclasses.replace(cfg, **ov)

@@ -98,6 +98,64 @@ class BinningConfig:
         most chunk_pairs - 1 slots."""
         return self.max_pairs + self.chunk_pairs * num_tiles
 
+    def resolved_big_capacity(self, n: int) -> int:
+        """The exact path's big-class row capacity after defaulting — the
+        single source of truth for the `big_capacity=None` heuristic (the
+        exact-path binner resolves through this too)."""
+        cap = self.big_capacity
+        if cap is None:
+            cap = min(max(1024, n // 16), 65536)
+        return max(1, min(cap, n))
+
+
+def grow_for_span_overflow(config: BinningConfig, n: int) -> BinningConfig:
+    """The growth response to `span_overflowed`: double max_span AND the
+    (resolved) big-class capacity.
+
+    `span_overflowed` covers two distinct exhaustions in the exact path — a
+    single Gaussian covering more than max_span tiles, and more than
+    big_capacity Gaussians each covering more than span_small tiles.  The
+    growth handler cannot tell them apart from the flag, and doubling only
+    max_span can never clear the second one (big_capacity's default is
+    independent of max_span), so it would burn every allowed growth doubling
+    the wrong budget.  Doubling both always clears whichever fired; the
+    big-domain emission cost (big_capacity * max_span lanes) quadruples per
+    growth, which is acceptable for a rare backstop."""
+    return dataclasses.replace(
+        config,
+        max_span=config.max_span * 2,
+        big_capacity=min(config.resolved_big_capacity(n) * 2, n),
+    )
+
+
+def adopt_checkpointed_budget(
+    config: BinningConfig, ckpt_pairs: int, ckpt_span: int, n: int
+) -> tuple[BinningConfig, bool]:
+    """Adopt an auto-grown budget recorded in a checkpoint on resume.
+
+    Returns ``(config, changed)``.  A run whose only growth was span-only
+    must also adopt (resuming with the original max_span would silently drop
+    splats until overflow is re-detected), so EITHER budget exceeding the
+    config's triggers adoption.  big_capacity is not checkpointed; span
+    growths doubled it in lockstep with max_span (`grow_for_span_overflow`),
+    so it is re-derived from the span ratio."""
+    if ckpt_pairs <= config.max_pairs and ckpt_span <= config.max_span:
+        return config, False
+    if ckpt_span > config.max_span:
+        ratio = max(1, ckpt_span // config.max_span)
+        config = dataclasses.replace(
+            config,
+            big_capacity=min(config.resolved_big_capacity(n) * ratio, n),
+        )
+    return (
+        dataclasses.replace(
+            config,
+            max_pairs=max(ckpt_pairs, config.max_pairs),
+            max_span=max(ckpt_span, config.max_span),
+        ),
+        True,
+    )
+
 
 @struct.dataclass
 class PairStream:

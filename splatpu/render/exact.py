@@ -159,10 +159,7 @@ def build_exact_stream(
     span_small = min(config.span_small, max_span)
     two_class = span_small < max_span
     if two_class:
-        cap_b = config.big_capacity if config.big_capacity is not None else min(
-            max(1024, n // 16), 65536
-        )
-        cap_b = max(1, min(cap_b, n))
+        cap_b = config.resolved_big_capacity(n)
         is_big = count > span_small
         n_big = jnp.sum(is_big)
         bigrank = jnp.cumsum(is_big) - is_big.astype(jnp.int32)

@@ -36,7 +36,11 @@ from splatpu.growth.densify import (
 )
 from splatpu.neighbors.knn import knn
 from splatpu.render.api import default_config, render, render_dual
-from splatpu.render.binning import BinningConfig
+from splatpu.render.binning import (
+    BinningConfig,
+    adopt_checkpointed_budget,
+    grow_for_span_overflow,
+)
 from splatpu.train.losses import SEGMENTATION_WEIGHT, image_loss
 from splatpu.train.optim import (
     apply_stage1_updates,
@@ -433,15 +437,14 @@ def fit(
         # splats (re-paying every growth recompile) until overflow is
         # re-detected.
         resumed_growths = int(restored["growths"])
-        if int(restored["max_pairs"]) > config.binning.max_pairs:
-            config = dataclasses.replace(
-                config,
-                binning=dataclasses.replace(
-                    config.binning,
-                    max_pairs=int(restored["max_pairs"]),
-                    max_span=int(restored["max_span"]),
-                ),
-            )
+        adopted, rebuilt = adopt_checkpointed_budget(
+            config.binning,
+            int(restored["max_pairs"]),
+            int(restored["max_span"]),
+            int(cloud.means.shape[0]),
+        )
+        if rebuilt:
+            config = dataclasses.replace(config, binning=adopted)
             train_step, mutate_step, adam = make_step_fns(
                 camera_static, config, scene_radius
             )
@@ -483,8 +486,8 @@ def fit(
             # (throughput-defining) pair buffer.  If BOTH overflowed, the
             # union flag persists and the next check grows the other.
             if float(metrics.get("span_overflow", 0.0)) > 0.0:
-                grown = dataclasses.replace(
-                    config.binning, max_span=config.binning.max_span * 2
+                grown = grow_for_span_overflow(
+                    config.binning, int(cloud.means.shape[0])
                 )
             else:
                 grown = dataclasses.replace(

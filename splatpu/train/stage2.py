@@ -39,7 +39,11 @@ from splatpu.dynamics.rigidity import (
 )
 from splatpu.core.quaternion import quat_normalize
 from splatpu.render.api import default_config, render
-from splatpu.render.binning import BinningConfig
+from splatpu.render.binning import (
+    BinningConfig,
+    adopt_checkpointed_budget,
+    grow_for_span_overflow,
+)
 from splatpu.core.ssim import ssim
 from splatpu.train.losses import L1_WEIGHT, RIGIDITY_WEIGHT, SSIM_WEIGHT
 from splatpu.train.optim import make_stage2_optimizer, stage2_lr_at
@@ -95,6 +99,11 @@ class Stage2Config:
     # Mid-run fault tolerance (absent in the reference, SURVEY.md §5.3/§5.4).
     checkpoint_every: int = 0   # in sequence iterations; 0 = disabled
     checkpoint_path: Optional[str] = None
+    # Deviation knobs for the deformation head (defaults bit-faithful; see
+    # DeformationNetConfig for the measured rationale).
+    delta_scale: float = 0.01
+    double_residual: bool = True
+    zero_init_head: bool = False
 
     def net_config(self) -> DeformationNetConfig:
         dtype = self.compute_dtype
@@ -106,6 +115,9 @@ class Stage2Config:
             hidden_dim=self.hidden_dim,
             residual_blocks=self.residual_blocks,
             compute_dtype=dtype,
+            delta_scale=self.delta_scale,
+            double_residual=self.double_residual,
+            zero_init_head=self.zero_init_head,
         )
 
 
@@ -424,15 +436,14 @@ def train(
         # without this a resumed run reverts to the setup-time budget and
         # silently drops splats until overflow is re-detected).
         growths = int(restored["growths"])
-        if int(restored["max_pairs"]) > config.binning.max_pairs:
-            config = dataclasses.replace(
-                config,
-                binning=dataclasses.replace(
-                    config.binning,
-                    max_pairs=int(restored["max_pairs"]),
-                    max_span=int(restored["max_span"]),
-                ),
-            )
+        adopted, rebuilt = adopt_checkpointed_budget(
+            config.binning,
+            int(restored["max_pairs"]),
+            int(restored["max_span"]),
+            int(cloud.capacity),
+        )
+        if rebuilt:
+            config = dataclasses.replace(config, binning=adopted)
             step_fn = build_step(config)
     outer = range(start_it, config.total_iterations)
     if progress:
@@ -526,9 +537,8 @@ def train(
                     # pairs): doubling the pair budget for a span overflow
                     # cannot clear it and halves render throughput.
                     if float(metrics.get("span_overflow", 0.0)) > 0.0:
-                        grown = dataclasses.replace(
-                            config.binning,
-                            max_span=config.binning.max_span * 2,
+                        grown = grow_for_span_overflow(
+                            config.binning, int(cloud.capacity)
                         )
                     else:
                         grown = dataclasses.replace(
