@@ -144,19 +144,33 @@ def run_inference(
     all_w2c = jnp.stack([cameras[n].w2c for n in cam_names])
     all_K = jnp.stack([cameras[n].K for n in cam_names])
 
-    @jax.jit
-    def render_view(cloud: GaussianCloud, w2c, K):
-        cam = cam0.replace(w2c=w2c, K=K)
-        out = render(activate_cloud(cloud), cam, impl=impl, config=binning)
-        return out.image, out.overflowed
+    # Grow-on-overflow, like both trainers (the demand-sized budget covers
+    # the t=0 cloud + 2x headroom, but the ROLLOUT deforms the cloud every
+    # timestep and a deformed splat can outgrow it): the render functions are
+    # (re)built from `grow_state`, and any overflowed batch is re-rendered
+    # under the doubled budget (pairs vs span targeted separately, matching
+    # stage1/stage2 growth semantics).  Bounded; exhaustion falls back to the
+    # warn-and-drop behavior.
+    grow_state = {"binning": binning, "growths": 0}
+    n_rows = int(initial_cloud.capacity)
 
-    @jax.jit
-    def render_all_views(cloud: GaussianCloud, w2cs, Ks):
-        # One batched render over the orbit cameras + one stacked host fetch
-        # per timestep (sequential per-camera renders each paid a separate
-        # dispatch + device->host round trip).
-        imgs, ovf = jax.vmap(lambda w2c, K: render_view(cloud, w2c, K))(w2cs, Ks)
-        return imgs, jnp.any(ovf)
+    def _build_render_all():
+        b = grow_state["binning"]
+
+        @jax.jit
+        def render_all_views(cloud: GaussianCloud, w2cs, Ks):
+            # One batched render over the orbit cameras + one stacked host
+            # fetch per timestep (sequential per-camera renders each paid a
+            # separate dispatch + device->host round trip).
+            def one(w2c, K):
+                cam = cam0.replace(w2c=w2c, K=K)
+                out = render(activate_cloud(cloud), cam, impl=impl, config=b)
+                return out.image, out.overflowed, out.span_overflowed
+
+            imgs, ovf, sovf = jax.vmap(one)(w2cs, Ks)
+            return imgs, jnp.any(ovf), jnp.any(sovf)
+
+        return render_all_views
 
     # Per-timestep evaluation vs the REAL views (`train.py:598-613`): one
     # batched render per RESOLUTION GROUP of the timestep's cameras and one
@@ -164,26 +178,63 @@ def run_inference(
     # `.item()` loop (27 cams x 150 timesteps of tunnel round-trips would
     # dominate inference wall-clock on TPU).  Grouping by (width, height)
     # keeps mixed-resolution captures working: image sizes are jit-static,
-    # so each group gets its own compiled shape (cached across timesteps).
-    @functools.lru_cache(maxsize=None)
-    def _batched_loss_for(width: int, height: int):
-        cam_static = Camera(
-            w2c=jnp.eye(4), K=jnp.eye(3), width=width, height=height
-        )
+    # so each group gets its own compiled shape (cached across timesteps,
+    # rebuilt on budget growth).
+    def _build_batched_loss():
+        b = grow_state["binning"]
 
-        @jax.jit
-        def batched_sum_image_loss(cloud: GaussianCloud, w2cs, Ks, targets):
-            def one(w2c, K, target):
-                cam = cam_static.replace(w2c=w2c, K=K)
-                out = render(
-                    activate_cloud(cloud), cam, impl=impl, config=binning
-                )
-                return image_loss(out.image, target), out.overflowed
+        @functools.lru_cache(maxsize=None)
+        def _batched_loss_for(width: int, height: int):
+            cam_static = Camera(
+                w2c=jnp.eye(4), K=jnp.eye(3), width=width, height=height
+            )
 
-            losses, ovf = jax.vmap(one)(w2cs, Ks, targets)
-            return jnp.sum(losses), jnp.any(ovf)
+            @jax.jit
+            def batched_sum_image_loss(cloud: GaussianCloud, w2cs, Ks, targets):
+                def one(w2c, K, target):
+                    cam = cam_static.replace(w2c=w2c, K=K)
+                    out = render(
+                        activate_cloud(cloud), cam, impl=impl, config=b
+                    )
+                    return image_loss(out.image, target), out.overflowed, out.span_overflowed
 
-        return batched_sum_image_loss
+                losses, ovf, sovf = jax.vmap(one)(w2cs, Ks, targets)
+                return jnp.sum(losses), jnp.any(ovf), jnp.any(sovf)
+
+            return batched_sum_image_loss
+
+        return _batched_loss_for
+
+    fns = {"render_all": _build_render_all(), "loss_for": _build_batched_loss()}
+
+    def _grow(span: bool) -> bool:
+        """Double the exceeded budget and rebuild the render fns; False once
+        the growth allowance is exhausted."""
+        if grow_state["growths"] >= 4:
+            return False
+        from splatpu.render.binning import grow_for_span_overflow
+
+        b = grow_state["binning"]
+        if span:
+            b = grow_for_span_overflow(b, n_rows)
+        else:
+            b = dataclasses.replace(b, max_pairs=min(b.max_pairs * 2, 1 << 24))
+        grow_state["binning"] = b
+        grow_state["growths"] += 1
+        fns["render_all"] = _build_render_all()
+        fns["loss_for"] = _build_batched_loss()
+        return True
+
+    def _with_growth(run):
+        """run() -> (*payload, ovf, span_ovf); re-runs under grown budgets
+        until clean or exhausted, then returns the last payload."""
+        while True:
+            *payload, ovf, sovf = run()
+            if not bool(ovf):
+                return payload
+            if not _grow(span=bool(sovf)):
+                _note_overflow(True)
+                return payload
 
     def eval_mean_image_loss(cloud, views):
         total = 0.0
@@ -194,9 +245,10 @@ def run_inference(
             if targets.dtype == np.uint8:
                 targets = targets.astype(np.float32) / 255.0
             targets = jnp.asarray(targets)
-            loss, ovf = _batched_loss_for(w, h)(cloud, w2cs, Ks, targets)
+            (loss,) = _with_growth(
+                lambda: fns["loss_for"](w, h)(cloud, w2cs, Ks, targets)
+            )
             total = total + loss
-            _note_overflow(ovf)
         return total / len(views)
 
     overflow_seen = [False]
@@ -213,9 +265,10 @@ def run_inference(
             )
 
     def export_views(cloud, timestep: int):
-        imgs, ovf = render_all_views(cloud, all_w2c, all_K)
+        (imgs,) = _with_growth(
+            lambda: fns["render_all"](cloud, all_w2c, all_K)
+        )
         imgs = np.asarray(imgs)
-        _note_overflow(ovf)
         for i, name in enumerate(cam_names):
             if output_directory is not None:
                 frame = write_frame(
@@ -246,9 +299,10 @@ def run_inference(
                 )
 
     # Timestep-0 frame prepended per camera (`train.py:617-627`).
-    imgs0, ovf0 = render_all_views(initial_cloud, all_w2c, all_K)
+    (imgs0,) = _with_growth(
+        lambda: fns["render_all"](initial_cloud, all_w2c, all_K)
+    )
     imgs0 = np.asarray(imgs0)
-    _note_overflow(ovf0)
     for i, name in enumerate(cam_names):
         if output_directory is not None:
             frame = write_frame(

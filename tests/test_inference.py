@@ -71,13 +71,8 @@ def test_inference_mixed_resolution_eval(tmp_path):
     assert all(len(f) == 3 for f in frames.values())
 
 
-def test_inference_warns_on_overflow():
-    """run_inference must surface budget overflow loudly (the round-2 code
-    discarded the flag entirely — a whole video could render truncated)."""
-    import warnings
-
+def _overflow_inference_setup(n_gaussians, max_pairs):
     import jax
-    import jax.numpy as jnp
 
     from splatpu.data.synthetic import make_random_cloud
     from splatpu.dynamics.deform import (
@@ -85,11 +80,12 @@ def test_inference_warns_on_overflow():
     )
     from splatpu.dynamics.network import init_deformation_net
     from splatpu.render.binning import BinningConfig
-    from splatpu.train.inference import run_inference
     from splatpu.train.stage2 import Stage2Config
 
-    cloud = make_random_cloud(jax.random.key(0), 300)
-    tiny = BinningConfig(tile=32, max_span=64, max_pairs=128, chunk_pairs=128)
+    cloud = make_random_cloud(jax.random.key(0), n_gaussians)
+    tiny = BinningConfig(
+        tile=32, max_span=64, max_pairs=max_pairs, chunk_pairs=128
+    )
     cfg = Stage2Config(
         total_iterations=1, warmup_iterations=1, hidden_dim=16,
         residual_blocks=1, timestep_count=1, renderer="stream", binning=tiny,
@@ -98,6 +94,40 @@ def test_inference_warns_on_overflow():
     enc = normalize_and_encode_means_and_rotations(
         cloud.means, cloud.rotation_quaternions
     )
+    return params, cloud, enc, cfg
+
+
+def test_inference_grows_budget_on_overflow():
+    """An undersized budget must GROW (bounded doubling, like both trainers)
+    and re-render the overflowed batch instead of warning and truncating —
+    round-4 upgrade of the round-2 warn-only behavior."""
+    import warnings
+
+    from splatpu.train.inference import run_inference
+
+    params, cloud, enc, cfg = _overflow_inference_setup(300, max_pairs=128)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        frames, _ = run_inference(params, cloud, enc, cfg, width=64, height=64)
+    assert not any("overflow" in str(c.message) for c in caught), [
+        str(c.message) for c in caught
+    ]
+    assert len(frames) == 5
+    for fs in frames.values():
+        for f in fs:
+            assert np.isfinite(np.asarray(f, np.float32)).all()
+
+
+def test_inference_warns_when_growth_exhausted():
+    """Demand beyond the growth allowance (4 doublings) must still surface
+    the overflow loudly (the round-2 code discarded the flag entirely — a
+    whole video could render truncated)."""
+    import warnings
+
+    from splatpu.train.inference import run_inference
+
+    # 4000 Gaussians need far more than 128 * 2^4 = 2048 pair slots.
+    params, cloud, enc, cfg = _overflow_inference_setup(4000, max_pairs=128)
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
         run_inference(params, cloud, enc, cfg, width=64, height=64)
