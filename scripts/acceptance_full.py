@@ -383,7 +383,7 @@ def run_stage2(args):
     cfg = Stage2Config(
         total_iterations=args.iters,
         warmup_iterations=max(1, args.iters // 10),
-        learning_rate=1e-3,
+        learning_rate=args.lr,
         hidden_dim=128,
         residual_blocks=3,
         timestep_count=args.timesteps,
@@ -392,6 +392,9 @@ def run_stage2(args):
         checkpoint_path=str(out_dir / "stage2_ckpt.msgpack"),
         binning_overrides=overrides or None,
         quirk_compat=not args.no_quirk,
+        delta_scale=args.delta_scale,
+        double_residual=not args.no_double_residual,
+        zero_init_head=args.zero_init_head,
     )
 
     # The training/eval cloud and initial encoding, exactly as stage2.setup
@@ -445,11 +448,34 @@ def run_stage2(args):
             "overflow_max": float(max(flags, default=0.0)),
         }
 
+    # Merge-on-load: a RESUMED run must keep the rollout-PSNR series it
+    # accumulated before the interruption (the round-3 no-quirk run resumed
+    # and committed a 1-point series that could not show the curve's shape —
+    # VERDICT r3 weak #3).
     psnr_series = []
+    prior_result = out_dir / "stage2_result.json"
+    if args.resume_from and prior_result.exists():
+        try:
+            psnr_series = json.loads(prior_result.read_text()).get(
+                "rollout_psnr_series", []
+            )
+            print(f"  resumed rollout_psnr_series: {len(psnr_series)} points")
+        except (json.JSONDecodeError, OSError):
+            pass
     result = {
         "config": "BASELINE config 3 shape (synthetic juggle-like)",
         "timesteps": args.timesteps,
         "sequence_iterations_total": args.iters,
+        "motion": {"rot_rate": args.rot_rate, "bob_amp": args.bob_amp},
+        "resolution": f"{WIDTH}x{HEIGHT}",
+        "cameras": CAMERAS,
+        "head": {
+            "lr": args.lr,
+            "delta_scale": args.delta_scale,
+            "double_residual": not args.no_double_residual,
+            "zero_init_head": args.zero_init_head,
+            "quirk_compat": not args.no_quirk,
+        },
     }
 
     def write_result(seq_it_done, metrics, final=False):
@@ -526,6 +552,15 @@ def main():
                    help="stage2 motion: fg rotation rad/timestep")
     p.add_argument("--bob-amp", type=float, default=0.1,
                    help="stage2 motion: fg vertical bob amplitude")
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--delta-scale", type=float, default=0.01,
+                   help="deformation head output scale (reference: 0.01,"
+                        " `train.py:303,307`; >0.01 is a deviation)")
+    p.add_argument("--no-double-residual", action="store_true",
+                   help="deviation: drop the reference's network-adds-input"
+                        " residual (`train.py:108`)")
+    p.add_argument("--zero-init-head", action="store_true",
+                   help="deviation: zero-init the output layer")
     p.add_argument("--views-per-step", type=int, default=1)
     p.add_argument("--width", type=int, default=None)
     p.add_argument("--height", type=int, default=None)

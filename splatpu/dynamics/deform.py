@@ -89,8 +89,9 @@ def update_cloud_parameters(
         encode_progress(timestep, timestep_count, n, quirk_compat),
         config,
     )
+    scale = config.delta_scale  # DEFORMATION_DELTA_SCALE unless deviating
     return initial_cloud.replace(
-        means=initial_cloud.means + DEFORMATION_DELTA_SCALE * delta[:, :3],
+        means=initial_cloud.means + scale * delta[:, :3],
         rotation_quaternions=initial_cloud.rotation_quaternions
-        + DEFORMATION_DELTA_SCALE * delta[:, 3:],
+        + scale * delta[:, 3:],
     )

@@ -39,6 +39,21 @@ class DeformationNetConfig:
     input_dim: int = INPUT_DIM
     output_dim: int = OUTPUT_DIM
     compute_dtype: str = "float32"  # set "bfloat16" to run matmuls on the MXU in bf16
+    # --- Deviation knobs (defaults are bit-faithful to the reference). ---
+    # The reference head is means_t = init + 0.01*(raw_net + init_mr): the
+    # network ADDS its input (`train.py:108`, the "double residual") and the
+    # caller scales by 0.01 (`train.py:303,307`).  Round-4 diagnostics
+    # (scripts/diag_stage2.py) measured that at the config-3 workload this
+    # head needs raw outputs of ~±40-55 (p95) to express the true motion, and
+    # 6000 Adam steps at lr 1e-3 leave the net at a near time-constant ~0.03
+    # global smear (~9% of the needed fg amplitude, bg moved equally) — the
+    # uniform ~19 dB rollout plateau.  These knobs exist to run the same
+    # pipeline with a trainable head; they are OFF by default.
+    delta_scale: float = 0.01    # `train.py:303,307`
+    double_residual: bool = True  # `train.py:108`
+    zero_init_head: bool = False  # zero-init fc_out so the t=0 deformation
+                                  # starts at exactly the residual bias (or 0
+                                  # when double_residual=False)
 
 
 def _linear_init(key, fan_in, fan_out, bias: bool):
@@ -57,7 +72,12 @@ def init_deformation_net(key, config: DeformationNetConfig):
     keys = jax.random.split(key, 2 + 2 * config.residual_blocks)
     params = {
         "fc_in": _linear_init(keys[0], config.input_dim, d, bias=True),
-        "fc_out": _linear_init(keys[1], d, config.output_dim, bias=True),
+        "fc_out": (
+            {"w": jnp.zeros((d, config.output_dim)),
+             "b": jnp.zeros((config.output_dim,))}
+            if config.zero_init_head
+            else _linear_init(keys[1], d, config.output_dim, bias=True)
+        ),
         "blocks": [],
     }
     for r in range(config.residual_blocks):
@@ -107,4 +127,6 @@ def deformation_net_apply(
         h = _batch_norm(h.astype(jnp.float32), blk["bn2"]).astype(dtype)
         x = jax.nn.gelu(h + identity, approximate=False)
     out = linear(x, params["fc_out"]).astype(jnp.float32)
-    return out + initial_means_and_rotations
+    if config.double_residual:
+        out = out + initial_means_and_rotations
+    return out
