@@ -189,9 +189,24 @@ def run_stage1(args):
         overrides["max_pairs"] = args.max_pairs
     if args.max_span:
         overrides["max_span"] = args.max_span
+    import dataclasses
+
+    from splatpu.growth.densify import DensifyConfig
+
+    dcfg = DensifyConfig()
+    if args.prune_opacity_final is not None:
+        # Deviation knob (VERDICT r4 item 4): the reference's iteration-5000
+        # opacity-0.25 prune (`external.py:289`) leaves ~41k Gaussians at
+        # this scene — capacity-limited at 720p (PSNR plateau 33.7).  A
+        # relaxed final prune measures whether 720p quality is prune-bound
+        # (a parity property) or pipeline-bound (a bug).
+        dcfg = dataclasses.replace(
+            dcfg, prune_opacity_final=args.prune_opacity_final
+        )
     cfg = Stage1Config(
         iterations=args.iters,
         capacity_factor=6.0,
+        densify=dcfg,
         checkpoint_every=args.checkpoint_every or 2500,
         checkpoint_path=str(out_dir / "stage1_ckpt.msgpack"),
         views_per_step=args.views_per_step,
@@ -236,6 +251,11 @@ def run_stage1(args):
     ]
     result = {
         "config": "BASELINE config 2 shape (synthetic)",
+        "prune_opacity_final": (
+            args.prune_opacity_final
+            if args.prune_opacity_final is not None
+            else 0.25
+        ),
         "gaussians_final": int(cloud.n_alive()),
         "iterations": args.iters,
         "cameras": CAMERAS,
@@ -562,6 +582,9 @@ def main():
     p.add_argument("--zero-init-head", action="store_true",
                    help="deviation: zero-init the output layer")
     p.add_argument("--views-per-step", type=int, default=1)
+    p.add_argument("--prune-opacity-final", type=float, default=None,
+                   help="stage1: override the i=5000 final-prune opacity "
+                        "threshold (reference: 0.25, `external.py:289`)")
     p.add_argument("--width", type=int, default=None)
     p.add_argument("--height", type=int, default=None)
     p.add_argument("--cameras", type=int, default=None)

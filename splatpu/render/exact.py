@@ -130,13 +130,29 @@ def build_exact_stream(
         r_eff2 = jax.lax.stop_gradient(r_eff2)
         mean2d_sg = jax.lax.stop_gradient(sp.mean2d)
 
-    def lane_keep(g, s_lanes, in_rect):
+    # Lane -> in-rect coordinates WITHOUT integer division: sy = s // w
+    # computed as floor((s + 0.5) * (1/w)).  Exact: the real value sits at
+    # least 0.5/w >= 2^-12 from the next integer while the f32 product's
+    # rounding error is < 2^-18 here (s < 2^12, w <= max_span <= 2^12).
+    # Variable-divisor integer div/mod lowers to multi-op VPU sequences and
+    # was recomputed in BOTH the cull mask and the key emission — on the
+    # multi-million-lane emission domain those fusions dominated the
+    # binning tail (round-4 trace).
+    inv_w = 1.0 / jnp.maximum(span_w, 1).astype(jnp.float32)
+
+    def lane_geom(g, s_lanes):
+        """(sx, sy, tile_id) for gaussians `g` x lanes `s_lanes`."""
+        sy = jnp.floor(
+            (s_lanes.astype(jnp.float32) + 0.5) * inv_w[g][:, None]
+        ).astype(jnp.int32)
+        sx = s_lanes - sy * span_w[g][:, None]
+        tile_id = (ty0[g][:, None] + sy) * tiles_x + (tx0[g][:, None] + sx)
+        return sx, sy, tile_id
+
+    def lane_keep(g, sx, sy, in_rect):
         """in_rect AND the tile-rect distance test (all (rows, lanes))."""
         if not config.cull_tiles:
             return in_rect
-        safe_w = jnp.maximum(span_w[g], 1)[:, None]
-        sy = s_lanes // safe_w
-        sx = s_lanes - sy * safe_w
         tl = jnp.float32(config.tile)
         x0 = (tx0[g][:, None] + sx).astype(jnp.float32) * tl
         y0 = (ty0[g][:, None] + sy).astype(jnp.float32) * tl
@@ -177,15 +193,19 @@ def build_exact_stream(
     # dense and the pair budget only pays for pairs that can contribute.
     if two_class:
         s_a = jnp.arange(span_small, dtype=jnp.int32)[None, :]
+        geom_a = lane_geom(gids, s_a)
         v_a = lane_keep(
-            gids, s_a, (s_a < count[:, None]) & (~is_big)[:, None]
+            gids, geom_a[0], geom_a[1],
+            (s_a < count[:, None]) & (~is_big)[:, None],
         )
         s_b = jnp.arange(max_span, dtype=jnp.int32)[None, :]
         row_live = (
             jnp.arange(cap_b, dtype=jnp.int32) < jnp.minimum(n_big, cap_b)
         )[:, None]
+        geom_b = lane_geom(big_ids, s_b)
         v_b = lane_keep(
-            big_ids, s_b, (s_b < count[big_ids][:, None]) & row_live
+            big_ids, geom_b[0], geom_b[1],
+            (s_b < count[big_ids][:, None]) & row_live,
         )
         count_small = jnp.sum(v_a, axis=1)
         count_big = jnp.sum(v_b, axis=1)  # per big row
@@ -195,7 +215,8 @@ def build_exact_stream(
         ).astype(jnp.int32)
     else:
         s_all = jnp.arange(max_span, dtype=jnp.int32)[None, :]
-        v_all = lane_keep(gids, s_all, s_all < count[:, None])
+        geom_all = lane_geom(gids, s_all)
+        v_all = lane_keep(gids, geom_all[0], geom_all[1], s_all < count[:, None])
         count = jnp.sum(v_all, axis=1).astype(jnp.int32)
 
     total_pairs = jnp.sum(count)
@@ -214,8 +235,9 @@ def build_exact_stream(
 
     sentinel = jnp.uint32(0xFFFFFFFF)
 
-    def emit(g, s_lanes, keep):
-        """Fused (key, val) emission for gaussians `g` x lanes `s_lanes`.
+    def emit(g, tile_id, keep):
+        """Fused (key, val) emission for gaussians `g` x precomputed lane
+        tile ids (shared with the cull mask's lane geometry — computed once).
 
         `keep` is the per-lane cull mask; kept lanes are compacted to ranks
         (an exclusive cumsum along the <=max_span lane axis) so emission
@@ -225,10 +247,6 @@ def build_exact_stream(
         would give, but without the scatter: a direct 2-array sort over the
         emission domain is ~3.5x faster on TPU than scatter-then-sort).
         """
-        safe_w = jnp.maximum(span_w[g], 1)[:, None]
-        sy = s_lanes // safe_w
-        sx = s_lanes - sy * safe_w
-        tile_id = (ty0[g][:, None] + sy) * tiles_x + (tx0[g][:, None] + sx)
         rank = jnp.cumsum(keep, axis=1) - keep.astype(jnp.int32)
         slot = offsets[g][:, None] + rank
         ok = keep & (slot < mp)
@@ -240,12 +258,12 @@ def build_exact_stream(
 
     if two_class:
         # Sort work drops from N*max_span to N*span_small + cap_b*max_span.
-        key_a, val_a = emit(gids, s_a, v_a)
-        key_b, val_b = emit(big_ids, s_b, v_b)
+        key_a, val_a = emit(gids, geom_a[2], v_a)
+        key_b, val_b = emit(big_ids, geom_b[2], v_b)
         key_flat = jnp.concatenate([key_a, key_b])
         val_flat = jnp.concatenate([val_a, val_b])
     else:
-        key_flat, val_flat = emit(gids, s_all, v_all)
+        key_flat, val_flat = emit(gids, geom_all[2], v_all)
 
     # num_keys=2: the value word (gid << lane_bits | lane) is a secondary sort
     # key, so pairs with equal (tile, quantized-depth) keys composite in global

@@ -1,6 +1,8 @@
 """Mid-run checkpoint/resume for stage 1 (SURVEY.md §5.3/§5.4 — a capability
 the reference lacks entirely)."""
 
+import pytest
+
 import dataclasses
 
 import jax
@@ -14,6 +16,7 @@ from tests.test_e2e import FakeView, make_views, ring_cameras
 from splatpu.data.synthetic import make_random_cloud
 
 
+@pytest.mark.slow
 def test_stage1_checkpoint_and_resume(tmp_path):
     truth = make_random_cloud(jax.random.key(0), 40, extent=0.8)
     cams = ring_cameras(3)
@@ -108,6 +111,7 @@ def test_resume_adopts_grown_pair_budget(tmp_path):
     assert captured["max_pairs"] == 1 << 13
 
 
+@pytest.mark.slow
 def test_stage1_resumes_pre_budget_format_checkpoint(tmp_path):
     """Checkpoints written before the budget fields existed (round-2 format:
     cloud/opt_state/stats/key/i only) must still resume — the budget falls

@@ -169,6 +169,7 @@ def _tiny_views(n_cams, n_timesteps, rng):
     return views
 
 
+@pytest.mark.slow
 def test_stage2_train_distributed_matches_single_device():
     """stage2.train(mesh_cameras=8) must follow the single-device trajectory
     (same picks, same losses up to cross-device f32 summation order)."""
@@ -196,6 +197,7 @@ def test_stage2_train_distributed_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_stage1_fit_distributed_matches_single_device():
     """stage1.fit(mesh_tiles=8) (strip-sharded dual render) must match the
     single-device fit trajectory."""

@@ -65,6 +65,7 @@ def ring_cameras(n=4, radius=4.0):
 
 
 class TestStage1EndToEnd:
+    @pytest.mark.slow
     def test_fit_reduces_loss(self):
         truth = make_random_cloud(jax.random.key(0), 60, extent=0.8)
         cams = ring_cameras(4)
@@ -106,6 +107,7 @@ class TestStage1EndToEnd:
 
 
 class TestStage1MultiView:
+    @pytest.mark.slow
     def test_views_per_step_trains_and_densifies(self):
         """views_per_step=2: batched dual renders per step, densification
         statistics advance per view, loss falls."""
@@ -149,6 +151,7 @@ class TestStage1MultiView:
 
 
 class TestStage1BudgetGrowth:
+    @pytest.mark.slow
     def test_overflow_grows_budget_and_training_continues(self):
         """Regression: the auto-growth path in fit() referenced an undefined
         `binning` local (NameError) — exercise growth end-to-end through fit."""
@@ -195,6 +198,7 @@ class TestStage1BudgetGrowth:
 
 
 class TestStage2EndToEnd:
+    @pytest.mark.slow
     def test_train_runs_and_improves(self):
         key = jax.random.key(1)
         base = make_random_cloud(key, 50, extent=0.7)

@@ -1,6 +1,8 @@
 """run_inference: orbit export + per-timestep real-view eval (reference
 `train.py:550-637`), including mixed-resolution capture rigs."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -29,6 +31,7 @@ def _views_at(cloud, eye, w, h):
     return v
 
 
+@pytest.mark.slow
 def test_inference_mixed_resolution_eval(tmp_path):
     cloud = make_random_cloud(jax.random.key(0), 48)
     config = Stage2Config(

@@ -2,6 +2,7 @@
 
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from splatpu.neighbors.knn import knn
@@ -51,6 +52,7 @@ def test_auto_chunk_respects_hbm_budget():
     assert _auto_chunk(500_000) <= 128
 
 
+@pytest.mark.slow
 def test_routing_decision_at_scale():
     """knn() must transparently route 200k+ points to the native KD-tree when
     available (no (chunk, N) HBM blowup) and match the brute-force result."""

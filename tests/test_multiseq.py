@@ -93,6 +93,7 @@ def _assert_trees_equal(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.slow
 def test_batch_matches_independent_runs(tmp_path):
     """The orchestration is a pure router: every sequence's trained params
     from a 2-fake-process batch equal an independent stage2.train run."""

@@ -8,6 +8,8 @@ stage 1; its stage-2 acceptance run trained 3,500 steps with every render
 silently truncated.
 """
 
+import pytest
+
 import dataclasses
 
 import jax
@@ -105,6 +107,7 @@ def test_stage2_default_binning_is_demand_sized():
             assert float(m["binning_overflow"]) == 0.0
 
 
+@pytest.mark.slow
 def test_stage2_grows_budget_on_overflow():
     """An over-budget scene must auto-grow (double) the pair budget instead of
     silently truncating every render (stage-1 parity, stage1.py growth)."""
@@ -155,6 +158,7 @@ def test_stage2_warns_when_growth_exhausted():
     assert any("overflow" in str(c.message) for c in caught)
 
 
+@pytest.mark.slow
 def test_stage2_checkpoint_carries_grown_budget(tmp_path):
     """Resume adopts the grown budget instead of reverting to the tiny one."""
     cloud = make_random_cloud(jax.random.key(5), 200)
@@ -187,6 +191,7 @@ def test_stage2_checkpoint_carries_grown_budget(tmp_path):
             assert m["max_pairs"] > grown_to
 
 
+@pytest.mark.slow
 def test_span_overflow_grows_span_not_pairs():
     """A single over-wide Gaussian must grow max_span, NOT the pair budget:
     doubling pairs cannot clear a span overflow and needlessly halves render

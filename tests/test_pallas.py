@@ -36,6 +36,7 @@ class TestPallasVsOracle:
             atol=2e-5,
         )
 
+    @pytest.mark.slow
     def test_gradients(self):
         cloud, cam = scene(2)
         bg = jnp.array([0.1, 0.2, 0.3])
@@ -57,6 +58,7 @@ class TestPallasVsOracle:
             scale = np.abs(a).max() + 1e-8
             np.testing.assert_allclose(b / scale, a / scale, atol=1e-4, err_msg=k)
 
+    @pytest.mark.slow
     def test_means2d_collector(self):
         cloud, cam = scene(3, n=24)
 

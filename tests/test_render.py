@@ -107,6 +107,7 @@ class TestStreamVsOracle:
             np.asarray(got.final_transmittance), np.asarray(ref.final_transmittance), atol=2e-4
         )
 
+    @pytest.mark.slow
     def test_gradients_match(self):
         cloud, cam = small_scene(seed=3, n=32)
         target = jnp.zeros((3, cam.height, cam.width))

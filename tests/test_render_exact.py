@@ -47,6 +47,7 @@ class TestExactVsOracle:
             atol=2e-5,
         )
 
+    @pytest.mark.slow
     def test_forward_wide_scene(self):
         # More tiles than one chunk; segments straddle chunk boundaries.
         cloud, cam = scene(5, n=96, w=96, h=64)
@@ -129,6 +130,7 @@ class TestExactVsOracle:
         assert np.abs(g1).max() > 0
         np.testing.assert_allclose(g2, 0.0, atol=1e-12)
 
+    @pytest.mark.slow
     def test_big_gaussian_two_class_emission(self):
         # Gaussians spanning far more than span_small tiles must route through
         # the compacted big-Gaussian emission domain and still match the oracle.
@@ -263,6 +265,7 @@ class TestTile32:
             tile=32, max_span=64, max_pairs=1 << 12, chunk_pairs=128, **kw
         )
 
+    @pytest.mark.slow
     def test_forward_matches_oracle(self):
         cloud, cam = scene(3, n=80, w=72, h=56)  # non-multiple of 32
         args = activate_cloud(cloud)
@@ -276,6 +279,7 @@ class TestTile32:
             np.asarray(got.depth), np.asarray(ref.depth), atol=2e-4
         )
 
+    @pytest.mark.slow
     def test_gradients_match_oracle(self):
         cloud, cam = scene(4, n=64, w=64, h=64)
         args0 = activate_cloud(cloud)
@@ -305,6 +309,7 @@ class TestProdScan:
     multiplicative roll scans (no log1p/exp in the grid kernels) — must match
     the oracle on images and gradients."""
 
+    @pytest.mark.slow
     def test_matches_oracle_image_and_grads(self):
         cloud, cam = scene(3, n=48, w=96, h=64)
         cfg = BinningConfig(
@@ -387,6 +392,7 @@ class TestTileCulling:
         p_off = int(build_exact_stream(args, cam, self._cfg(False)).total_pairs)
         assert p_on < p_off * 0.7, (p_on, p_off)
 
+    @pytest.mark.slow
     def test_gradients_identical(self):
         cloud, cam = self._scene()
         args0 = activate_cloud(cloud)

@@ -1,5 +1,7 @@
 """Stage-2 step option equivalence: vmap view batching == sequential map."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -45,6 +47,7 @@ def _run(view_batching):
     return out[4]  # aux metrics
 
 
+@pytest.mark.slow
 def test_vmap_matches_map():
     a = _run("map")
     b = _run("vmap")
@@ -81,6 +84,7 @@ def _train(view_staging):
     return metrics
 
 
+@pytest.mark.slow
 def test_view_staging_modes_equivalent():
     # Targets are exact 8-bit multiples, so all three staging modes must give
     # identical losses (same rng stream => same view picks).

@@ -1,5 +1,7 @@
 """Stage-2 mid-run checkpoint/resume."""
 
+import pytest
+
 import dataclasses
 
 import jax
@@ -13,6 +15,7 @@ from tests.test_e2e import make_views, ring_cameras
 BIN = BinningConfig(max_span=32, max_pairs=1 << 12, chunk_pairs=256)
 
 
+@pytest.mark.slow
 def test_stage2_checkpoint_and_resume(tmp_path):
     base_cloud = make_random_cloud(jax.random.key(1), 40, extent=0.7)
     cams = ring_cameras(4)
