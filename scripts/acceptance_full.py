@@ -404,8 +404,8 @@ def run_stage2(args):
         total_iterations=args.iters,
         warmup_iterations=max(1, args.iters // 10),
         learning_rate=args.lr,
-        hidden_dim=128,
-        residual_blocks=3,
+        hidden_dim=args.hidden,
+        residual_blocks=args.blocks,
         timestep_count=args.timesteps,
         view_staging="host",
         checkpoint_every=5,
@@ -573,6 +573,10 @@ def main():
     p.add_argument("--bob-amp", type=float, default=0.1,
                    help="stage2 motion: fg vertical bob amplitude")
     p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--hidden", type=int, default=128,
+                   help="deformation-net hidden dim (reference CLI arg)")
+    p.add_argument("--blocks", type=int, default=3,
+                   help="deformation-net residual blocks (reference CLI arg)")
     p.add_argument("--delta-scale", type=float, default=0.01,
                    help="deformation head output scale (reference: 0.01,"
                         " `train.py:303,307`; >0.01 is a deviation)")
