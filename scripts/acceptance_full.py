@@ -483,7 +483,11 @@ def run_stage2(args):
         except (json.JSONDecodeError, OSError):
             pass
     result = {
-        "config": "BASELINE config 3 shape (synthetic juggle-like)",
+        "config": args.label
+        or "BASELINE config 3 shape (synthetic juggle-like)",
+        "gaussians": int(truth.means.shape[0]),
+        "animated_cloud": str(cloud_path) if cloud_path.exists() else
+        f"ground-truth cloud ({int(truth.means.shape[0])} Gaussians)",
         "timesteps": args.timesteps,
         "sequence_iterations_total": args.iters,
         "motion": {"rot_rate": args.rot_rate, "bob_amp": args.bob_amp},
@@ -577,6 +581,9 @@ def main():
                    help="deformation-net hidden dim (reference CLI arg)")
     p.add_argument("--blocks", type=int, default=3,
                    help="deformation-net residual blocks (reference CLI arg)")
+    p.add_argument("--label", default=None,
+                   help="result.json config label (the round-3 config-4 "
+                        "smoke mislabeled itself as config 3)")
     p.add_argument("--delta-scale", type=float, default=0.01,
                    help="deformation head output scale (reference: 0.01,"
                         " `train.py:303,307`; >0.01 is a deviation)")
