@@ -140,30 +140,42 @@ def build_exact_stream(
     # binning tail (round-4 trace).
     inv_w = 1.0 / jnp.maximum(span_w, 1).astype(jnp.float32)
 
-    def lane_geom(g, s_lanes):
-        """(sx, sy, tile_id) for gaussians `g` x lanes `s_lanes`."""
+    # The per-gaussian inputs below are selected into each class's row
+    # domain by a `sel` callable rather than fancy-indexed with a gaussian-id
+    # array: the SMALL class's rows are ALL gaussians in order, and XLA does
+    # not see through a gather-by-iota — the round-4 trace measured ~0.7-1.0
+    # ms PER per-gaussian gather at 100k rows (tx0/ty0/span_w/mean2d/r_eff2/
+    # dq/offsets: ~6 ms of pure identity-permutation traffic per frame).
+    # sel = identity for the small class; only the compacted big class
+    # (cap_b rows) pays real gathers, on a domain ~16x smaller.
+
+    def lane_geom(sel, s_lanes):
+        """(sx, sy, tile_id) for the class's rows x lanes `s_lanes`."""
         sy = jnp.floor(
-            (s_lanes.astype(jnp.float32) + 0.5) * inv_w[g][:, None]
+            (s_lanes.astype(jnp.float32) + 0.5) * sel(inv_w)[:, None]
         ).astype(jnp.int32)
-        sx = s_lanes - sy * span_w[g][:, None]
-        tile_id = (ty0[g][:, None] + sy) * tiles_x + (tx0[g][:, None] + sx)
+        sx = s_lanes - sy * sel(span_w)[:, None]
+        tile_id = (
+            (sel(ty0)[:, None] + sy) * tiles_x + (sel(tx0)[:, None] + sx)
+        )
         return sx, sy, tile_id
 
-    def lane_keep(g, sx, sy, in_rect):
+    def lane_keep(sel, sx, sy, in_rect):
         """in_rect AND the tile-rect distance test (all (rows, lanes))."""
         if not config.cull_tiles:
             return in_rect
         tl = jnp.float32(config.tile)
-        x0 = (tx0[g][:, None] + sx).astype(jnp.float32) * tl
-        y0 = (ty0[g][:, None] + sy).astype(jnp.float32) * tl
-        mx = mean2d_sg[g, 0][:, None]
-        my = mean2d_sg[g, 1][:, None]
+        x0 = (sel(tx0)[:, None] + sx).astype(jnp.float32) * tl
+        y0 = (sel(ty0)[:, None] + sy).astype(jnp.float32) * tl
+        m2 = sel(mean2d_sg)
+        mx = m2[:, 0][:, None]
+        my = m2[:, 1][:, None]
         # Closest pixel-center of the tile (centers at integer coords
         # [x0, x0 + tile - 1]); the real-valued clamp under-estimates the
         # integer-grid distance, which only keeps more pairs (conservative).
         dx = mx - jnp.clip(mx, x0, x0 + (tl - 1.0))
         dy = my - jnp.clip(my, y0, y0 + (tl - 1.0))
-        return in_rect & (dx * dx + dy * dy <= r_eff2[g][:, None])
+        return in_rect & (dx * dx + dy * dy <= sel(r_eff2)[:, None])
 
     # Two-class split (resolved BEFORE offsets so emission slots stay dense
     # even when the big class overflows): every Gaussian emits span_small
@@ -191,21 +203,23 @@ def build_exact_stream(
     # Per-lane keep masks (rect membership AND the distance cull), computed
     # BEFORE offsets: emitted counts are the culled counts, so slots stay
     # dense and the pair budget only pays for pairs that can contribute.
+    sel_all = lambda x: x  # noqa: E731 — small class: rows ARE all gaussians
     if two_class:
+        sel_big = lambda x: x[big_ids]  # noqa: E731
         s_a = jnp.arange(span_small, dtype=jnp.int32)[None, :]
-        geom_a = lane_geom(gids, s_a)
+        geom_a = lane_geom(sel_all, s_a)
         v_a = lane_keep(
-            gids, geom_a[0], geom_a[1],
+            sel_all, geom_a[0], geom_a[1],
             (s_a < count[:, None]) & (~is_big)[:, None],
         )
         s_b = jnp.arange(max_span, dtype=jnp.int32)[None, :]
         row_live = (
             jnp.arange(cap_b, dtype=jnp.int32) < jnp.minimum(n_big, cap_b)
         )[:, None]
-        geom_b = lane_geom(big_ids, s_b)
+        geom_b = lane_geom(sel_big, s_b)
         v_b = lane_keep(
-            big_ids, geom_b[0], geom_b[1],
-            (s_b < count[big_ids][:, None]) & row_live,
+            sel_big, geom_b[0], geom_b[1],
+            (s_b < sel_big(count)[:, None]) & row_live,
         )
         count_small = jnp.sum(v_a, axis=1)
         count_big = jnp.sum(v_b, axis=1)  # per big row
@@ -215,8 +229,10 @@ def build_exact_stream(
         ).astype(jnp.int32)
     else:
         s_all = jnp.arange(max_span, dtype=jnp.int32)[None, :]
-        geom_all = lane_geom(gids, s_all)
-        v_all = lane_keep(gids, geom_all[0], geom_all[1], s_all < count[:, None])
+        geom_all = lane_geom(sel_all, s_all)
+        v_all = lane_keep(
+            sel_all, geom_all[0], geom_all[1], s_all < count[:, None]
+        )
         count = jnp.sum(v_all, axis=1).astype(jnp.int32)
 
     total_pairs = jnp.sum(count)
@@ -235,8 +251,8 @@ def build_exact_stream(
 
     sentinel = jnp.uint32(0xFFFFFFFF)
 
-    def emit(g, tile_id, keep):
-        """Fused (key, val) emission for gaussians `g` x precomputed lane
+    def emit(sel, g_rows, tile_id, keep):
+        """Fused (key, val) emission for one class's rows x precomputed lane
         tile ids (shared with the cull mask's lane geometry — computed once).
 
         `keep` is the per-lane cull mask; kept lanes are compacted to ranks
@@ -248,22 +264,22 @@ def build_exact_stream(
         emission domain is ~3.5x faster on TPU than scatter-then-sort).
         """
         rank = jnp.cumsum(keep, axis=1) - keep.astype(jnp.int32)
-        slot = offsets[g][:, None] + rank
+        slot = sel(offsets)[:, None] + rank
         ok = keep & (slot < mp)
-        key = (tile_id.astype(jnp.uint32) << depth_bits) | dq[g][:, None]
+        key = (tile_id.astype(jnp.uint32) << depth_bits) | sel(dq)[:, None]
         key = jnp.where(ok, key, sentinel)
-        val = ((g[:, None] << lane_bits) | rank).astype(jnp.uint32)
+        val = ((g_rows[:, None] << lane_bits) | rank).astype(jnp.uint32)
         val = jnp.where(ok, val, jnp.uint32(0))
         return key.reshape(-1), val.reshape(-1)
 
     if two_class:
         # Sort work drops from N*max_span to N*span_small + cap_b*max_span.
-        key_a, val_a = emit(gids, geom_a[2], v_a)
-        key_b, val_b = emit(big_ids, geom_b[2], v_b)
+        key_a, val_a = emit(sel_all, gids, geom_a[2], v_a)
+        key_b, val_b = emit(sel_big, big_ids, geom_b[2], v_b)
         key_flat = jnp.concatenate([key_a, key_b])
         val_flat = jnp.concatenate([val_a, val_b])
     else:
-        key_flat, val_flat = emit(gids, geom_all[2], v_all)
+        key_flat, val_flat = emit(sel_all, gids, geom_all[2], v_all)
 
     # num_keys=2: the value word (gid << lane_bits | lane) is a secondary sort
     # key, so pairs with equal (tile, quantized-depth) keys composite in global
@@ -914,11 +930,15 @@ def _fwd_kernel_grid(
 
 def _bwd_kernel_grid(
     tile_s, blk_s, lo_s, hi_s, first_s, newblk_s,
-    records_ref, fwdout_ref, cot_ref, bg_ref,
+    records_ref, fwdout_ref, gimg_ref, gdep_ref, gtf_ref, bg_ref,
     grads_ref,
     tback, gsum,
     *, tiles_x: int, G: int, C: int, scan: str, tile: int = TILE,
 ):
+    # The three cotangents arrive as SEPARATE per-tile input blocks rather
+    # than one packed (NPIX, PACK) block: packing them cost an XLA-side
+    # concat + broadcast copies over a lanes=8 layout (~2.8 ms/frame,
+    # round-4 trace) while two extra input-block pipelines cost ~0.9 ms.
     NPIX = tile * tile
     k = pl.program_id(0)
     t = tile_s[k]
@@ -933,9 +953,9 @@ def _bwd_kernel_grid(
         tback[:] = tfin
         # Unrolled (NPIX, C) x (C,) contraction: Mosaic rejects the tiny
         # dot_general here ("only constant accumulators supported").
-        gbg = cot_ref[0, :, C + 1 : C + 2]  # d(tfin) cotangent
+        gbg = gtf_ref[0]  # d(tfin) cotangent
         for c in range(C):
-            gbg = gbg + cot_ref[0, :, c : c + 1] * bg_ref[0:1, c : c + 1]
+            gbg = gbg + gimg_ref[0, :, c : c + 1] * bg_ref[0:1, c : c + 1]
         gsum[:] = tfin * gbg
 
     # Beyond-last-contributor skip (mirror of the forward kernel's early
@@ -953,8 +973,8 @@ def _bwd_kernel_grid(
         px, py, ox, oy = _pixel_coords(t, tiles_x, tile)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, G), 1)
 
-        gimg = cot_ref[0, :, 0:C]
-        gdep = cot_ref[0, :, C : C + 1]
+        gimg = gimg_ref[0]
+        gdep = gdep_ref[0]
 
         pos = blk_s[k] * G + lane
         geo = _chunk_geometry(records_ref[:], px, py, pos, lo, hi, ox, oy)
@@ -1057,7 +1077,7 @@ def _fwd_call_grid(
 
 
 def _bwd_call_grid(
-    records, start, end, bg_row, fwdout, cot,
+    records, start, end, bg_row, fwdout, g_img, g_dep, g_tf,
     *, num_tiles, tiles_x, G, C, scan, tile=TILE,
 ):
     NPIX = tile * tile
@@ -1075,7 +1095,9 @@ def _bwd_call_grid(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec((1, NPIX, PACK), tile_block, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NPIX, PACK), tile_block, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NPIX, C), tile_block, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NPIX, 1), tile_block, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NPIX, 1), tile_block, memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -1099,7 +1121,7 @@ def _bwd_call_grid(
         out_shape=[jax.ShapeDtypeStruct(records.shape, jnp.float32)],
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-    )(*tables, records, fwdout, cot, bg_row)
+    )(*tables, records, fwdout, g_img, g_dep, g_tf, bg_row)
     return grads
 
 
@@ -1320,18 +1342,9 @@ def _composite_table_bwd(static, residuals, cotangents):
     g_img, g_dep, g_tf = cotangents  # g_img is (T, NPIX, C)
     if kernel == "grid":
         packed = aux
-        num_t = packed.shape[0]
-        cot = jnp.concatenate(
-            [
-                g_img,
-                g_dep[..., None],
-                g_tf[..., None],
-                jnp.zeros((num_t, tile * tile, PACK - C - 2), jnp.float32),
-            ],
-            axis=-1,
-        )
         grads = _bwd_call_grid(
-            records, start, end, bg[None, :], packed, cot,
+            records, start, end, bg[None, :], packed,
+            g_img, g_dep[..., None], g_tf[..., None],
             num_tiles=num_tiles, tiles_x=tiles_x, G=G, C=C, scan=scan,
             tile=tile,
         )
