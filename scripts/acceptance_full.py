@@ -407,7 +407,7 @@ def run_stage2(args):
         hidden_dim=args.hidden,
         residual_blocks=args.blocks,
         timestep_count=args.timesteps,
-        view_staging="host",
+        view_staging=args.view_staging,
         checkpoint_every=5,
         checkpoint_path=str(out_dir / "stage2_ckpt.msgpack"),
         binning_overrides=overrides or None,
@@ -522,6 +522,9 @@ def run_stage2(args):
         )
         (out_dir / "stage2_result.json").write_text(json.dumps(result, indent=2))
 
+    iters_this_run = [0]
+    stopped_early = [False]
+
     def on_iteration(seq_it, net_params, resolved_cfg, metrics):
         result["max_pairs"] = resolved_cfg.binning.max_pairs
         done = seq_it + 1
@@ -530,12 +533,33 @@ def run_stage2(args):
             print(f"  [{time.time()-t0:.0f}s] rollout PSNR @ seqit {done}: "
                   f"{psnr_series[-1]}")
         write_result(done, metrics)
+        iters_this_run[0] += 1
+        if (
+            args.stop_after
+            and iters_this_run[0] >= args.stop_after
+            and done < args.iters
+            and done % 5 == 0  # only stop on a checkpoint boundary
+        ):
+            # Chunked execution: the axon tunnel client retains every
+            # device_put'd host buffer (~2.1 GB per host-staged sequence
+            # iteration at config-3 shape), so long runs bound each
+            # process's lifetime and resume from the checkpoint.
+            print(f"  [{time.time()-t0:.0f}s] chunk boundary at seqit "
+                  f"{done}: stopping for restart (RSS bound)")
+            stopped_early[0] = True
+            return True
 
     net_params, dense_cloud, enc_init, last_metrics = train(
         initial, views_by_timestep, cfg, logger=logger, progress=True,
         on_iteration=on_iteration, resume_from=args.resume_from,
     )
     dt = time.time() - t0
+    if stopped_early[0]:
+        # The incremental write_result already recorded the honest state
+        # (completed=False, true iteration count); the wrapper loop resumes.
+        logger.close()
+        print(f"[{dt:.0f}s] stage2 chunk done (not final)")
+        sys.exit(3)
     print(f"[{dt:.0f}s] stage2 done")
 
     rows = [json.loads(l) for l in (out_dir / "stage2_metrics.jsonl").open()]
@@ -584,6 +608,15 @@ def main():
     p.add_argument("--label", default=None,
                    help="result.json config label (the round-3 config-4 "
                         "smoke mislabeled itself as config 3)")
+    p.add_argument("--view-staging", default="host",
+                   choices=["host", "device_u8", "device"],
+                   help="stage2 view staging; device_u8 avoids the axon "
+                        "tunnel's per-device_put host-buffer retention "
+                        "entirely when the u8 view set fits HBM")
+    p.add_argument("--stop-after", type=int, default=None,
+                   help="stage2: cleanly stop after N sequence iterations "
+                        "in THIS process (chunked execution; resume with "
+                        "--resume-from to continue)")
     p.add_argument("--delta-scale", type=float, default=0.01,
                    help="deformation head output scale (reference: 0.01,"
                         " `train.py:303,307`; >0.01 is a deviation)")

@@ -586,7 +586,14 @@ def train(
                 },
             )
         if on_iteration is not None:
-            on_iteration(seq_it, net_params, config, metrics)
+            # A truthy return requests a clean early stop (after this
+            # iteration's checkpoint write above) — long host-staged runs on
+            # the axon tunnel are chunked across process restarts because
+            # the tunnel client retains every device_put'd host buffer
+            # (measured +13.8 MB per put, unbounded; round-4 OOM
+            # post-mortem in NOTES_R5.md).
+            if on_iteration(seq_it, net_params, config, metrics):
+                break
     if logger is not None:
         logger.flush()
     return net_params, cloud, encoded_initial, metrics
