@@ -94,3 +94,47 @@ def test_view_staging_modes_equivalent():
     for k in ("l1", "total"):
         np.testing.assert_allclose(float(a[k]), float(b[k]), rtol=1e-5, err_msg=k)
         np.testing.assert_allclose(float(a[k]), float(c[k]), rtol=1e-6, err_msg=k)
+
+
+def test_on_iteration_early_stop():
+    """A truthy on_iteration return stops train() after that iteration
+    (chunked execution support; round-4 tunnel-RSS post-mortem)."""
+    import jax
+    import numpy as np
+
+    from splatpu.data.synthetic import make_lookat_camera, make_random_cloud
+    from splatpu.core.types import activate_cloud
+    from splatpu.render.api import render
+    from splatpu.train.stage2 import Stage2Config, train
+
+    class V:
+        pass
+
+    cloud = make_random_cloud(jax.random.key(0), 48, extent=0.6)
+    cam = make_lookat_camera(eye=(0.0, 0.3, -1.5), width=32, height=32, focal=32.0)
+    img = np.clip(
+        np.asarray(render(activate_cloud(cloud), cam, impl="stream").image),
+        0.0, 1.0,
+    )
+    views = []
+    for _t in range(2):
+        v = V()
+        v.camera_index = 0
+        v.w2c, v.K = np.asarray(cam.w2c), np.asarray(cam.K)
+        v.width, v.height = 32, 32
+        v.image = img
+        views.append([v])
+
+    calls = []
+
+    def stop_after_two(seq_it, net_params, cfg, metrics):
+        calls.append(seq_it)
+        return len(calls) >= 2
+
+    cfg = Stage2Config(
+        total_iterations=10, warmup_iterations=1, hidden_dim=16,
+        residual_blocks=1, views_per_step=1, timestep_count=2,
+        renderer="stream",
+    )
+    train(cloud, views, cfg, on_iteration=stop_after_two)
+    assert calls == [0, 1]
