@@ -449,7 +449,12 @@ def train(
     if progress:
         import tqdm
 
-        outer = tqdm.tqdm(outer, desc="stage2", initial=start_it)
+        # total= explicitly: tqdm would otherwise infer len(range) and show
+        # a resumed run as instantly 100%.
+        outer = tqdm.tqdm(
+            outer, desc="stage2", initial=start_it,
+            total=config.total_iterations,
+        )
     metrics = {}
     for seq_it in outer:
         enc_prev, prev_fg = snapshot_previous(
