@@ -24,9 +24,15 @@ def train_step_compiler_options():
     (None off-TPU)."""
     if jax.default_backend() not in ("tpu", "axon"):
         return None
-    # 24 MiB: comfortably above the ~19.2 MiB the pathological schedule asks
-    # for, while keeping scoped + Mosaic kernel VMEM within the chip's 128 MiB
-    # (a 48 MiB limit overcommitted alongside the kernels' 100 MiB budget and
-    # coincided with a TPU worker crash during a subsequent render).
-    kib = int(os.environ.get("SPLATPU_SCOPED_VMEM_KIB", 24 * 1024))
+    # 32 MiB: the round-3 default of 24 MiB (set "comfortably above" the
+    # ~19.2 MiB the pathological schedule asked for then) became
+    # insufficient again in round 4 at the config-3 shape (41k cloud,
+    # 393k-pair budget, 5 vmapped views) — the compile succeeded but the
+    # schedule overcommitted at RUNTIME and repeatedly CRASHED the TPU
+    # worker on the first training step ("TPU backend error (Internal)" /
+    # "worker process crashed or restarted").  32 MiB runs that shape
+    # stably; a 48 MiB limit once overcommitted alongside the kernels'
+    # 100 MiB budget and also crashed the worker, so do not raise this
+    # blindly — use SPLATPU_SCOPED_VMEM_KIB per run.
+    kib = int(os.environ.get("SPLATPU_SCOPED_VMEM_KIB", 32 * 1024))
     return {"xla_tpu_scoped_vmem_limit_kib": str(kib)}

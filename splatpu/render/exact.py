@@ -930,15 +930,18 @@ def _fwd_kernel_grid(
 
 def _bwd_kernel_grid(
     tile_s, blk_s, lo_s, hi_s, first_s, newblk_s,
-    records_ref, fwdout_ref, gimg_ref, gdep_ref, gtf_ref, bg_ref,
+    records_ref, fwdout_ref, cot_ref, bg_ref,
     grads_ref,
     tback, gsum,
     *, tiles_x: int, G: int, C: int, scan: str, tile: int = TILE,
 ):
-    # The three cotangents arrive as SEPARATE per-tile input blocks rather
-    # than one packed (NPIX, PACK) block: packing them cost an XLA-side
-    # concat + broadcast copies over a lanes=8 layout (~2.8 ms/frame,
-    # round-4 trace) while two extra input-block pipelines cost ~0.9 ms.
+    # The cotangents arrive as ONE packed (NPIX, PACK) input block.  A
+    # round-4 attempt to pass them as three separate blocks (saving the
+    # XLA-side concat, ~2 ms/frame) ran out of SCOPED VMEM under
+    # jax.vmap(5 views): each extra double-buffered per-tile block
+    # multiplies by the vmap batch (21.3 MB needed vs the 16 MB scoped
+    # limit) and crashed the TPU worker at stage-2 training shapes — the
+    # packed form is required for the vmapped multi-view training path.
     NPIX = tile * tile
     k = pl.program_id(0)
     t = tile_s[k]
@@ -953,9 +956,9 @@ def _bwd_kernel_grid(
         tback[:] = tfin
         # Unrolled (NPIX, C) x (C,) contraction: Mosaic rejects the tiny
         # dot_general here ("only constant accumulators supported").
-        gbg = gtf_ref[0]  # d(tfin) cotangent
+        gbg = cot_ref[0, :, C + 1 : C + 2]  # d(tfin) cotangent
         for c in range(C):
-            gbg = gbg + gimg_ref[0, :, c : c + 1] * bg_ref[0:1, c : c + 1]
+            gbg = gbg + cot_ref[0, :, c : c + 1] * bg_ref[0:1, c : c + 1]
         gsum[:] = tfin * gbg
 
     # Beyond-last-contributor skip (mirror of the forward kernel's early
@@ -973,8 +976,8 @@ def _bwd_kernel_grid(
         px, py, ox, oy = _pixel_coords(t, tiles_x, tile)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, G), 1)
 
-        gimg = gimg_ref[0]
-        gdep = gdep_ref[0]
+        gimg = cot_ref[0, :, 0:C]
+        gdep = cot_ref[0, :, C : C + 1]
 
         pos = blk_s[k] * G + lane
         geo = _chunk_geometry(records_ref[:], px, py, pos, lo, hi, ox, oy)
@@ -1077,7 +1080,7 @@ def _fwd_call_grid(
 
 
 def _bwd_call_grid(
-    records, start, end, bg_row, fwdout, g_img, g_dep, g_tf,
+    records, start, end, bg_row, fwdout, cot,
     *, num_tiles, tiles_x, G, C, scan, tile=TILE,
 ):
     NPIX = tile * tile
@@ -1095,9 +1098,7 @@ def _bwd_call_grid(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec((1, NPIX, PACK), tile_block, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NPIX, C), tile_block, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NPIX, 1), tile_block, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NPIX, 1), tile_block, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NPIX, PACK), tile_block, memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -1121,7 +1122,7 @@ def _bwd_call_grid(
         out_shape=[jax.ShapeDtypeStruct(records.shape, jnp.float32)],
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-    )(*tables, records, fwdout, g_img, g_dep, g_tf, bg_row)
+    )(*tables, records, fwdout, cot, bg_row)
     return grads
 
 
@@ -1342,9 +1343,18 @@ def _composite_table_bwd(static, residuals, cotangents):
     g_img, g_dep, g_tf = cotangents  # g_img is (T, NPIX, C)
     if kernel == "grid":
         packed = aux
+        num_t = packed.shape[0]
+        cot = jnp.concatenate(
+            [
+                g_img,
+                g_dep[..., None],
+                g_tf[..., None],
+                jnp.zeros((num_t, tile * tile, PACK - C - 2), jnp.float32),
+            ],
+            axis=-1,
+        )
         grads = _bwd_call_grid(
-            records, start, end, bg[None, :], packed,
-            g_img, g_dep[..., None], g_tf[..., None],
+            records, start, end, bg[None, :], packed, cot,
             num_tiles=num_tiles, tiles_x=tiles_x, G=G, C=C, scan=scan,
             tile=tile,
         )
