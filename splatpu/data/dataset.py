@@ -40,9 +40,9 @@ class ViewData:
 class SequenceMetadata:
     width: int
     height: int
-    filenames: list[list[str]]   # [T][C]
-    intrinsics: np.ndarray       # (T, C, 3, 3)
-    extrinsics: np.ndarray       # (T, C, 4, 4)
+    filenames: list[list[str]]       # [T][Ct] — Ct may vary per timestep
+    intrinsics: list[np.ndarray]     # [T] of (Ct, 3, 3)
+    extrinsics: list[np.ndarray]     # [T] of (Ct, 4, 4)
 
     @property
     def timestep_count(self) -> int:
@@ -55,14 +55,20 @@ class SequenceMetadata:
 
 
 def load_metadata(sequence_path: Path) -> SequenceMetadata:
+    """Per-timestep arrays, NOT one (T, C, ...) block: real CMU-Panoptic
+    captures drop frames, so per-timestep camera counts may differ — the
+    reference indexes the raw nested lists per timestep
+    (`shared.py:129-151`) and never materializes a rectangular array.  A
+    single np.asarray over the ragged lists would raise on such sequences.
+    """
     with (Path(sequence_path) / "train_meta.json").open() as f:
         meta = json.load(f)
     return SequenceMetadata(
         width=int(meta["w"]),
         height=int(meta["h"]),
         filenames=meta["fn"],
-        intrinsics=np.asarray(meta["k"], np.float32),
-        extrinsics=np.asarray(meta["w2c"], np.float32),
+        intrinsics=[np.asarray(k, np.float32) for k in meta["k"]],
+        extrinsics=[np.asarray(w, np.float32) for w in meta["w2c"]],
     )
 
 
@@ -114,8 +120,8 @@ def load_timestep_views(
         views.append(
             ViewData(
                 camera_index=camera_index,
-                w2c=metadata.extrinsics[timestep, camera_index],
-                K=metadata.intrinsics[timestep, camera_index],
+                w2c=metadata.extrinsics[timestep][camera_index],
+                K=metadata.intrinsics[timestep][camera_index],
                 width=metadata.width,
                 height=metadata.height,
                 image=img,
