@@ -112,7 +112,7 @@ def main():
             def loss(tb):
                 img, dep, tfin = exact._composite_table(
                     tb, jnp.zeros((C,)), st.gid, st.start, st.end,
-                    st.offsets, st.counts, st.pos_of_slot, static,
+                    st.offsets, st.counts, st.lane, static,
                 )
                 return jnp.sum(img) / (w * h) + 0.1 * jnp.sum(dep) / (w * h)
 
@@ -125,7 +125,7 @@ def main():
     fake = jnp.ones((exact.NREC, cfg.max_pairs), jnp.float32)
 
     def k3(g):
-        return jnp.sum(exact._route_to_table(g, st.offsets, st.counts, st.pos_of_slot, 10))
+        return jnp.sum(exact._route_to_table(g, st.offsets, st.counts, exact.pos_of_slot_of(st.offsets, st.gid, st.lane), 10))
 
     t("K3 routing", k3, lambda i: (fake + jnp.float32(i) * 1e-9,))
 
@@ -148,7 +148,7 @@ def main():
         def loss(tb):
             img, dep, tfin = exact._composite_table(
                 tb, jnp.zeros((C,)), st.gid, st.start, st.end,
-                st.offsets, st.counts, st.pos_of_slot, static,
+                st.offsets, st.counts, st.lane, static,
             )
             return jnp.sum(img) / (w * h) + 0.1 * jnp.sum(dep) / (w * h)
 

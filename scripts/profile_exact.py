@@ -62,7 +62,7 @@ def main():
         st = exact.build_exact_stream(args0.replace(means3d=m), cam, cfg)
         return (
             jnp.sum(st.gid) + jnp.sum(st.start) + jnp.sum(st.end)
-            + jnp.sum(st.pos_of_slot) + jnp.sum(st.splats.depth)
+            + jnp.sum(st.lane) + jnp.sum(st.splats.depth)
         )
     t("B binning", upto_stream)
 
@@ -95,7 +95,7 @@ def main():
 
     def route(g):
         return jnp.sum(
-            exact._route_to_table(g, st0.offsets, st0.counts, st0.pos_of_slot, 10)
+            exact._route_to_table(g, st0.offsets, st0.counts, exact.pos_of_slot_of(st0.offsets, st0.gid, st0.lane), 10)
         )
     r = time_fn(
         jax.jit(route), args_fn=lambda i: (fake + jnp.float32(i) * 1e-7,), iters=5

@@ -64,7 +64,7 @@ def main():
     t(
         "B binning",
         lambda a: sum_tree(
-            (lambda st: (st.gid, st.start, st.end, st.pos_of_slot))(
+            (lambda st: (st.gid, st.start, st.end, st.lane))(
                 exact.build_exact_stream(a, cam, cfg)
             )
         ),
@@ -145,7 +145,7 @@ def main():
             exact._route_to_table(grads, off, cnt, pos, 10)
         ),
         lambda i: (
-            fake + jnp.float32(i) * 1e-9, st.offsets, st.counts, st.pos_of_slot
+            fake + jnp.float32(i) * 1e-9, st.offsets, st.counts, exact.pos_of_slot_of(st.offsets, st.gid, st.lane)
         ),
     )
 

@@ -73,7 +73,7 @@ def main():
         lambda a: build_exact_stream(a, cam, config)
     )(margs)
     ppad = estream.gid.shape[0]
-    mp = estream.pos_of_slot.shape[0]
+    mp = estream.gid.shape[0]
     print(f"pair buffer={ppad}, emission slots={mp}")
 
     key = jax.random.key(1)
@@ -83,7 +83,7 @@ def main():
     n_rows = R_COLOR0 + C
 
     gid = estream.gid
-    pos_of_slot = estream.pos_of_slot
+    pos_of_slot = jax.jit(lambda s: __import__('splatpu.render.exact', fromlist=['x']).pos_of_slot_of(s.offsets, s.gid, s.lane))(estream)
     offsets = estream.offsets
     counts = estream.counts
 

@@ -51,6 +51,12 @@ from splatpu.render.types import RenderOutput
 NPIX = TILE * TILE  # default-tile pixel count; kernels use tile*tile
 NREC = 16
 R_MX, R_MY, R_CA, R_CB, R_CC, R_OP, R_DEPTH, R_COLOR0 = 0, 1, 2, 3, 4, 5, 6, 7
+# Spare record row carrying offsets[g] as f32: the fused record gather
+# ``table[:, gid]`` then yields offsets[gid_sorted] for free, replacing a
+# separate (P,)-sized gather (~2.6 ms at the bench shape, round-4 trace).
+# Exactness: every gaussian with >=1 kept pair has offsets[g] < max_pairs,
+# and the row is only trusted when max_pairs <= 2^24 (f32-exact integers).
+R_OFF = NREC - 1
 ALPHA_MIN = 1.0 / 255.0
 ALPHA_MAX = 0.99
 
@@ -62,7 +68,13 @@ class ExactStream:
     gid: jax.Array          # (P,) int32 gaussian id per sorted pair (0 for pad)
     start: jax.Array        # (num_tiles,) int32 segment starts
     end: jax.Array          # (num_tiles,) int32 segment ends
-    pos_of_slot: jax.Array  # (P,) int32 sorted position per emission slot; P => dropped
+    lane: jax.Array         # (P,) int32 emission lane (rank) per sorted pair;
+                            # -1 marks pad/dropped positions.  The slot->
+                            # position inverse map is derived lazily in the
+                            # BACKWARD pass (`pos_of_slot_of`): forward-only
+                            # renders never pay the invert-by-sort, and the
+                            # offsets gather it needs rides the fused record
+                            # gather (R_OFF row) instead of its own gather.
     offsets: jax.Array      # (N,) int32 first emission slot per gaussian
     counts: jax.Array       # (N,) int32 emitted pairs per gaussian
     g_colors: jax.Array     # (N, C) activated colors
@@ -316,26 +328,19 @@ def build_exact_stream(
     gid_sorted = (vals_sorted >> lane_bits).astype(jnp.int32)
     lane_sorted = (vals_sorted & ((1 << lane_bits) - 1)).astype(jnp.int32)
 
-    # Inverse permutation: emission slot -> sorted position (mp for dropped
-    # slots).  Kept slots are exactly the dense range [0, n_kept), so sorting
-    # (slot, position) puts position p at row slot — an invert-by-sort, which
-    # beats an mp-sized scatter on TPU.
-    p_iota = jnp.arange(mp, dtype=jnp.int32)
     # A position is a real pair iff its key is not the sentinel (real keys can
     # never be 0xFFFFFFFF: real tile ids stay below the tile-field maximum).
+    # The emission-slot inverse permutation is NOT built here: the backward
+    # pass derives it on demand (`pos_of_slot_of`), so forward-only renders
+    # skip the invert-by-sort and the offsets gather entirely.
     valid_p = keys_sorted != sentinel
-    slot_of_p = offsets[gid_sorted] + lane_sorted
-    slot_tgt = jnp.where(valid_p, slot_of_p, mp)
-    slot_sorted, pos_of_slot = jax.lax.sort(
-        (slot_tgt, p_iota), dimension=0, num_keys=1
-    )
-    pos_of_slot = jnp.where(slot_sorted < mp, pos_of_slot, mp)
+    lane_tag = jnp.where(valid_p, lane_sorted, jnp.int32(-1))
 
     return ExactStream(
         gid=gid_sorted,
         start=start,
         end=end,
-        pos_of_slot=jax.lax.stop_gradient(pos_of_slot),
+        lane=jax.lax.stop_gradient(lane_tag),
         offsets=jax.lax.stop_gradient(offsets.astype(jnp.int32)),
         counts=jax.lax.stop_gradient(count.astype(jnp.int32)),
         g_colors=args.colors,
@@ -345,6 +350,26 @@ def build_exact_stream(
         span_overflowed=span_overflow,
         splats=sp,
     )
+
+
+def pos_of_slot_of(offsets, gid, lane, off_of_p=None):
+    """Emission slot -> sorted position map (value P for dropped slots).
+
+    Kept slots are exactly the dense range [0, n_kept), so sorting
+    (slot, position) puts position p at row slot — an invert-by-sort, which
+    beats an mp-sized scatter on TPU.  ``off_of_p`` (P,) = offsets[gid], if
+    the caller already has it (the backward pass reads it off the R_OFF
+    record row, where it rode the fused record gather for free).
+    """
+    mp = gid.shape[0]
+    if off_of_p is None:
+        off_of_p = offsets[gid]
+    p_iota = jnp.arange(mp, dtype=jnp.int32)
+    slot_tgt = jnp.where(lane >= 0, off_of_p + lane, mp)
+    slot_sorted, pos = jax.lax.sort(
+        (slot_tgt, p_iota), dimension=0, num_keys=1
+    )
+    return jnp.where(slot_sorted < mp, pos, mp)
 
 
 # ---------------------------------------------------------------------------
@@ -1301,16 +1326,16 @@ def _route_to_table(grads, offsets, counts, pos_of_slot, n_rows):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
 def _composite_table(
-    table, bg, gid, start, end, offsets, counts, pos_of_slot, static
+    table, bg, gid, start, end, offsets, counts, lane, static
 ):
     out, _ = _composite_table_fwd(
-        table, bg, gid, start, end, offsets, counts, pos_of_slot, static
+        table, bg, gid, start, end, offsets, counts, lane, static
     )
     return out
 
 
 def _composite_table_fwd(
-    table, bg, gid, start, end, offsets, counts, pos_of_slot, static
+    table, bg, gid, start, end, offsets, counts, lane, static
 ):
     """Outputs are pixel-major per tile: (img (T, NPIX, C), dep (T, NPIX),
     tfin (T, NPIX)) — cotangents then arrive already in the packed kernels'
@@ -1333,13 +1358,13 @@ def _composite_table_fwd(
         )
         out = (jnp.swapaxes(img, 1, 2), dep[..., 0], tfin[..., 0])
         aux = (tfin, last)
-    residuals = (records, start, end, bg, aux, offsets, counts, pos_of_slot)
+    residuals = (records, start, end, bg, aux, offsets, counts, lane, gid)
     return out, residuals
 
 
 def _composite_table_bwd(static, residuals, cotangents):
     num_tiles, tiles_x, G, C, _max_span, kernel, scan, tile = static
-    records, start, end, bg, aux, offsets, counts, pos_of_slot = residuals
+    records, start, end, bg, aux, offsets, counts, lane, gid = residuals
     g_img, g_dep, g_tf = cotangents  # g_img is (T, NPIX, C)
     if kernel == "grid":
         packed = aux
@@ -1368,6 +1393,14 @@ def _composite_table_bwd(static, residuals, cotangents):
             tile=tile,
         )
         tfin = tfin4[..., 0]
+    mp = lane.shape[0]
+    if mp <= 1 << 24 and R_COLOR0 + C <= R_OFF:
+        # offsets[gid] rode the fused record gather (R_OFF row); every kept
+        # pair's offset is < max_pairs <= 2^24, exact in f32.
+        off_of_p = records[R_OFF].astype(jnp.int32)
+    else:
+        off_of_p = offsets[gid]
+    pos_of_slot = pos_of_slot_of(offsets, gid, lane, off_of_p=off_of_p)
     d_table = _route_to_table(grads, offsets, counts, pos_of_slot, R_COLOR0 + C)
     d_bg = jnp.einsum("tpc,tp->c", g_img, tfin)
     return (d_table, d_bg, None, None, None, None, None, None)
@@ -1381,7 +1414,10 @@ _composite_table.defvjp(_composite_table_fwd, _composite_table_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _pack_table(mean2d, conic, color, opacity, depth):
+def _pack_table(mean2d, conic, color, opacity, depth, offsets=None):
+    """(NREC, N) record table.  When ``offsets`` is given (and a spare row
+    exists), it is carried in row R_OFF so the backward routing's
+    offsets[gid] comes out of the fused record gather for free."""
     c = color.shape[1]
     if c > NREC - R_COLOR0:
         raise ValueError(f"at most {NREC - R_COLOR0} color channels supported")
@@ -1391,6 +1427,8 @@ def _pack_table(mean2d, conic, color, opacity, depth):
         opacity, depth,
     ] + [color[:, i] for i in range(c)]
     rows += [jnp.zeros_like(opacity)] * (NREC - len(rows))
+    if offsets is not None and len(rows) == NREC and R_COLOR0 + c <= R_OFF:
+        rows[R_OFF] = jax.lax.stop_gradient(offsets.astype(jnp.float32))
     return jnp.stack(rows, axis=0)  # (NREC, N)
 
 
@@ -1436,11 +1474,13 @@ def composite_exact(
         config.kernel, config.scan, config.tile,
     )
     table = _pack_table(
-        mean2d, stream.splats.conic, colors, stream.g_opacity, stream.splats.depth
+        mean2d, stream.splats.conic, colors, stream.g_opacity,
+        stream.splats.depth,
+        offsets=stream.offsets if config.max_pairs <= 1 << 24 else None,
     )
     img_tiles, depth_tiles, tfin_tiles = _composite_table(
         table, bg, stream.gid, stream.start, stream.end,
-        stream.offsets, stream.counts, stream.pos_of_slot, static,
+        stream.offsets, stream.counts, stream.lane, static,
     )
 
     tl = config.tile

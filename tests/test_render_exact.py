@@ -232,7 +232,7 @@ class TestExactEdgeCases:
         # Over-capacity big Gaussians must be dropped WITHOUT corrupting the
         # emission-slot -> sorted-position map of everyone else (regression:
         # valid_p overcounting + slot holes scrambled pos_of_slot wholesale).
-        from splatpu.render.exact import build_exact_stream
+        from splatpu.render.exact import build_exact_stream, pos_of_slot_of
 
         cloud, cam = scene(12, n=48, w=64, h=48)
         cloud = cloud.replace(log_scales=cloud.log_scales + 1.5)
@@ -243,7 +243,7 @@ class TestExactEdgeCases:
         st = build_exact_stream(activate_cloud(cloud), cam, cfg)
         assert bool(st.overflowed)
         gid = np.asarray(st.gid)
-        pos_of_slot = np.asarray(st.pos_of_slot)
+        pos_of_slot = np.asarray(pos_of_slot_of(st.offsets, st.gid, st.lane))
         offsets = np.asarray(st.offsets)
         counts = np.asarray(st.counts)
         mp = cfg.max_pairs
