@@ -298,10 +298,16 @@ def build_exact_stream(
     # gaussian-index order — matching the reference radix sort's stable tie
     # order even across the two-class emission split (class-B big Gaussians
     # would otherwise all sort after class-A smalls on key ties).
+    # is_stable=False when BOTH words are sort keys: (key, val) pairs are
+    # globally unique (val embeds gid|lane), so stability adds nothing and
+    # XLA's stable lowering would carry an extra iota payload through every
+    # radix pass.  With num_keys=1 duplicates exist and the reference's
+    # submission-order ties need the stable path.
     keys_all, vals_all = jax.lax.sort(
         (key_flat, val_flat),
         dimension=0,
         num_keys=2 if config.exact_tie_order else 1,
+        is_stable=not config.exact_tie_order,
     )
     # All <= mp valid keys sort before the 0xFFFFFFFF sentinels, so the first
     # mp positions contain every kept pair.  Pad for tiny emission domains.
@@ -366,8 +372,10 @@ def pos_of_slot_of(offsets, gid, lane, off_of_p=None):
         off_of_p = offsets[gid]
     p_iota = jnp.arange(mp, dtype=jnp.int32)
     slot_tgt = jnp.where(lane >= 0, off_of_p + lane, mp)
+    # Valid slots are unique; dropped slots all share the key mp and their
+    # relative order is discarded below — stability is irrelevant.
     slot_sorted, pos = jax.lax.sort(
-        (slot_tgt, p_iota), dimension=0, num_keys=1
+        (slot_tgt, p_iota), dimension=0, num_keys=1, is_stable=False
     )
     return jnp.where(slot_sorted < mp, pos, mp)
 
@@ -1123,7 +1131,12 @@ def _bwd_call_grid(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec((1, NPIX, PACK), tile_block, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NPIX, PACK), tile_block, memory_space=pltpu.VMEM),
+            # Cotangents carry only C+2 real lanes (d image, d depth,
+            # d tfin) — passing exactly that many instead of a PACK block
+            # drops the XLA-side zero-lane padding concat (~0.7 ms) and 3/8
+            # of the cot HBM traffic.  Still ONE block: the round-4 VMEM
+            # blowout came from extra double-buffered blocks, not width.
+            pl.BlockSpec((1, NPIX, C + 2), tile_block, memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -1314,11 +1327,17 @@ def _route_to_table(grads, offsets, counts, pos_of_slot, n_rows):
         csum = _cumsum_pairs_pallas(slotg)
     else:
         csum = jnp.cumsum(slotg, axis=1)
-    hi = jnp.clip(offsets + counts - 1, 0, mp - 1)
-    lo = offsets - 1
-    hi_v = csum[:, hi]
-    lo_v = jnp.where((lo >= 0)[None, :], csum[:, jnp.clip(lo, 0, mp - 1)], 0.0)
-    out = jnp.where((counts > 0)[None, :], hi_v - lo_v, 0.0)  # (n_rows, N)
+    # ONE boundary gather instead of two: segment ends are the next
+    # segment's starts (offsets[g] + counts[g] == offsets[g+1], both built
+    # from the same cumsum), so b[g] = csum at gaussian g's last slot is
+    # ALSO gaussian g+1's lower boundary — shift instead of re-gather.
+    ends = offsets + counts
+    b = jnp.where(
+        (ends > 0)[None, :], csum[:, jnp.clip(ends - 1, 0, mp - 1)], 0.0
+    )  # (n_rows, N) cumulative sum through each gaussian's segment
+    out = b - jnp.concatenate(
+        [jnp.zeros((b.shape[0], 1), b.dtype), b[:, :-1]], axis=1
+    )
     return jnp.concatenate(
         [out, jnp.zeros((nrec - n_rows, out.shape[1]), out.dtype)], axis=0
     )
@@ -1368,16 +1387,9 @@ def _composite_table_bwd(static, residuals, cotangents):
     g_img, g_dep, g_tf = cotangents  # g_img is (T, NPIX, C)
     if kernel == "grid":
         packed = aux
-        num_t = packed.shape[0]
         cot = jnp.concatenate(
-            [
-                g_img,
-                g_dep[..., None],
-                g_tf[..., None],
-                jnp.zeros((num_t, tile * tile, PACK - C - 2), jnp.float32),
-            ],
-            axis=-1,
-        )
+            [g_img, g_dep[..., None], g_tf[..., None]], axis=-1
+        )  # (T, NPIX, C+2) — exactly the lanes the kernel reads
         grads = _bwd_call_grid(
             records, start, end, bg[None, :], packed, cot,
             num_tiles=num_tiles, tiles_x=tiles_x, G=G, C=C, scan=scan,
