@@ -435,3 +435,40 @@ def test_cumsum_pairs_pallas_matches_jnp():
         np.asarray(_cumsum_pairs_pallas(y, block_cols=2048)),
         np.asarray(jnp.cumsum(y, axis=1)),
     )
+
+
+class TestForwardOnlyCost:
+    """The emission-slot inversion is a BACKWARD-only cost: forward-only
+    renders (inference, truth staging) must trace exactly one sort (the
+    binning key sort), while fwd+bwd adds the invert-by-sort
+    (`pos_of_slot_of`).  Guards the round-4 restructure that moved the
+    inversion out of `build_exact_stream`."""
+
+    @staticmethod
+    def _count_sorts(jaxpr):
+        n = 0
+        for eqn in jaxpr.eqns:
+            if eqn.primitive.name == "sort":
+                n += 1
+            for v in eqn.params.values():
+                if hasattr(v, "jaxpr"):  # closed sub-jaxprs (custom_vjp etc.)
+                    n += TestForwardOnlyCost._count_sorts(v.jaxpr)
+        return n
+
+    def test_fwd_traces_one_sort_bwd_two(self):
+        cloud, cam = scene(3)
+        args = activate_cloud(cloud)
+
+        def fwd(means):
+            out = render(args.replace(means3d=means), cam, impl="pallas", config=CFG)
+            return jnp.sum(out.image)
+
+        fwd_sorts = self._count_sorts(jax.make_jaxpr(fwd)(args.means3d).jaxpr)
+        bwd_sorts = self._count_sorts(
+            jax.make_jaxpr(jax.grad(fwd))(args.means3d).jaxpr
+        )
+        # Forward: big-class compaction sort + binning key sort.  Backward
+        # adds EXACTLY one more (the slot inversion) — if this grows, the
+        # inversion leaked back into the forward path.
+        assert bwd_sorts == fwd_sorts + 1, (fwd_sorts, bwd_sorts)
+        assert fwd_sorts == 2, fwd_sorts
